@@ -1,0 +1,151 @@
+"""Candidate-pair generation: LSH band-key joins + SimHash Hamming-ball.
+
+Reference analogue: the cluster-membership probe
+(``Sketching/LSSFingerprintAtomic.java:505-545`` — probe every cluster's
+cuckoo filter; ``:628-636`` — bucket position by seeded hash).  Two keys
+agreeing on a band key / simhash segment collide, exactly like two flows
+agreeing on the cluster filter + bucket hash.  Unlike the cuckoo filter this
+is an exact equi-join — no false positives at the membership step; false
+candidates are removed by the verify stage (shadow-map analogue, :525-529).
+
+Skew handling is explicit (north_rule):
+  * band buckets wider than ``cfg.band_width_cap`` are DROPPED and logged —
+    pair count is quadratic in bucket width, so boilerplate bands must be
+    capped, not just salted (the reference accepts the analogous error when
+    hot flows share a bucket — SURVEY §4.1 "Skew handling: none");
+  * buckets in (hot_threshold, cap] go through a SALTED self-join: the left
+    side is salted by doc hash, the right side replicated to every salt, so
+    one hot key's quadratic pair production spreads over ``salt_factor``
+    shuffle partitions;
+  * everything else is a plain equi-self-join; AQE skew-join splitting
+    stays on as a backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+
+HOT_THRESHOLD = 256  # buckets wider than this use the salted path
+
+
+def pairs_by_key(
+    keyed: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    hot_threshold: int = HOT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """(id, key) → distinct candidate pairs (id1 < id2) + skew metrics.
+
+    Returns (pairs, bucket_metrics) where bucket_metrics has one row per
+    key-width class: kept / salted / dropped with bucket counts and widths.
+    """
+    keyed = keyed.select(F.col(id_col).alias("doc_id"), F.col(key_col).alias("key"))
+
+    widths = keyed.groupBy("key").agg(F.count("*").alias("width"))
+    # classification is tiny (distinct keys with width>threshold) → broadcast
+    dropped = widths.filter(F.col("width") > cfg.band_width_cap)
+    hot = widths.filter(
+        (F.col("width") > hot_threshold) & (F.col("width") <= cfg.band_width_cap)
+    )
+
+    metrics = widths.select(
+        F.when(F.col("width") > cfg.band_width_cap, F.lit("dropped"))
+        .when(F.col("width") > hot_threshold, F.lit("salted"))
+        .otherwise(F.lit("kept"))
+        .alias("bucket_class"),
+        "width",
+    ).groupBy("bucket_class").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("width").alias("n_rows"),
+        F.max("width").alias("max_width"),
+    )
+
+    ok = keyed.join(F.broadcast(dropped.select("key")), "key", "left_anti")
+    normal = ok.join(F.broadcast(hot.select("key")), "key", "left_anti")
+    hot_rows = ok.join(F.broadcast(hot.select("key")), "key", "left_semi")
+
+    a = normal.alias("a")
+    b = normal.alias("b")
+    pairs_normal = (
+        a.join(b, F.col("a.key") == F.col("b.key"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    )
+
+    # salted self-join for hot keys: left gets one salt, right is replicated
+    # to all salts — every unordered pair produced exactly once.
+    s = cfg.salt_factor
+    hl = hot_rows.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(s)).cast("int")
+    ).alias("hl")
+    hr = hot_rows.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).alias("hr")
+    pairs_hot = (
+        hl.join(
+            hr,
+            (F.col("hl.key") == F.col("hr.key"))
+            & (F.col("hl.salt") == F.col("hr.salt")),
+        )
+        .filter(F.col("hl.doc_id") < F.col("hr.doc_id"))
+        .select(F.col("hl.doc_id").alias("id1"), F.col("hr.doc_id").alias("id2"))
+    )
+
+    pairs = pairs_normal.unionByName(pairs_hot).distinct()
+    return pairs, metrics
+
+
+def band_candidates(
+    signatures: DataFrame, cfg: SketchConfig
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash-LSH candidates: docs sharing ≥1 band key (id1 < id2)."""
+    keyed = signatures.filter(F.col("n_shingles") > 0).select(
+        "doc_id", F.explode("band_keys").alias("key")
+    )
+    return pairs_by_key(keyed, cfg)
+
+
+def simhash_segment_keys(signatures: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """(doc_id, key) for Hamming-ball multi-probe — all JVM-side bit ops.
+
+    Pigeonhole over radius+1 contiguous segments of the 64-bit fingerprint:
+    two fps within Hamming distance ≤ radius agree on ≥1 whole segment.
+    Key = xxhash64(segment_index, segment_value) so segment spaces differ.
+    """
+    nseg = cfg.hamming_radius + 1
+    seg_len = 64 // nseg
+    cols = []
+    for i in range(nseg):
+        lo = i * seg_len
+        length = seg_len if i < nseg - 1 else 64 - lo
+        mask = (1 << length) - 1
+        seg = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+        cols.append(F.xxhash64(F.lit(i), seg))
+    return signatures.filter(F.col("n_tokens") > 0).select(
+        "doc_id", F.explode(F.array(*cols)).alias("key")
+    )
+
+
+def simhash_candidates(
+    signatures: DataFrame, cfg: SketchConfig
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash candidates: segment-key join, then exact Hamming ≤ radius
+    re-check (JVM-side ``bit_count(x XOR y)``) — zero Python in this path."""
+    keyed = simhash_segment_keys(signatures, cfg)
+    pairs, metrics = pairs_by_key(keyed, cfg)
+    fps = signatures.select("doc_id", "simhash")
+    out = (
+        pairs.join(fps.withColumnRenamed("doc_id", "id1").withColumnRenamed("simhash", "sh1"), "id1")
+        .join(fps.withColumnRenamed("doc_id", "id2").withColumnRenamed("simhash", "sh2"), "id2")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= cfg.hamming_radius)
+        .select("id1", "id2", "hamming")
+    )
+    return out, metrics

@@ -1,0 +1,100 @@
+"""Signature stage: documents → (MinHash, band keys, SimHash) per doc.
+
+This is the engine's analogue of the reference's sketch-insert path
+(``Sketching/LSSFingerprintAtomic.java:591-690``): key → fingerprint
+(``GetItemInfoByte``, :382-409) → locality-sensitive placement.  Here the
+fingerprints are a MinHash signature (seeded 64-bit family, the analogue of
+the reference's per-cluster seeded xxHash64 family at :148-151), LSH band
+keys (bucket position analogue, :628-636), and a 64-bit SimHash
+(FingerLen-bit fingerprint analogue, :382-414).
+
+All computation is Arrow-batched ``mapInPandas`` — numpy kernels, no
+row-at-a-time Spark UDFs (input_hint).  The raw ``text`` column is read,
+never rewritten.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from ..functions import hashing as H
+from ..functions.text import tokenize
+
+SIGNATURE_SCHEMA = (
+    "doc_id long, minhash array<long>, band_keys array<long>, "
+    "simhash long, n_shingles int, n_tokens int"
+)
+
+
+def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """doc_id = xxhash64(url) — JVM-side, codegen'd (SURVEY §1.2)."""
+    return df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
+
+
+def _signature_batches(cfg_json: str):
+    """Builds the mapInPandas function (config captured by value, not by
+    driver-side global reference — re-pickled once per task, tiny)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = SketchConfig.from_json(cfg_json)
+        seeds = H.minhash_seeds(cfg.n_hashes, cfg.seed)
+        token_cache: dict[str, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            sigs = np.empty((n, cfg.n_hashes), dtype=np.uint64)
+            simhashes = np.empty(n, dtype=np.uint64)
+            n_shingles = np.empty(n, dtype=np.int32)
+            n_tokens = np.empty(n, dtype=np.int32)
+            texts = pdf["text"].tolist()
+            for i in range(n):
+                toks = tokenize(texts[i], cfg.normalization)
+                th = H.hash_tokens(toks, token_cache)
+                sh = H.shingle_hashes(th, cfg.shingle_k)
+                sigs[i] = H.minhash_signature(sh, seeds)
+                simhashes[i] = H.simhash64(th)
+                n_shingles[i] = sh.size
+                n_tokens[i] = len(toks)
+            bkeys = H.band_keys_batch(sigs, cfg.bands, cfg.rows)
+            sigs_i = H.u64_to_i64(sigs)
+            bkeys_i = H.u64_to_i64(bkeys)
+            if len(token_cache) > 1_000_000:
+                token_cache.clear()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "minhash": list(sigs_i),
+                    "band_keys": list(bkeys_i),
+                    "simhash": H.u64_to_i64(simhashes),
+                    "n_shingles": n_shingles,
+                    "n_tokens": n_tokens,
+                }
+            )
+
+    return fn
+
+
+def compute_signatures(
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents(id, text, ...) → signatures(doc_id, minhash, band_keys,
+    simhash, n_shingles, n_tokens).
+
+    Selects only (id, text) first so Catalyst prunes every other column at
+    the parquet scan (ReadSchema contains just the two).
+    """
+    pruned = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInPandas(_signature_batches(cfg.to_json()), SIGNATURE_SCHEMA)

@@ -1,0 +1,131 @@
+"""Exact verification of candidate pairs — the "shadow map" stage.
+
+The reference disambiguates approximate matches against an exact shadow map
+(``Sketching/LSSFingerprintAtomic.java:525-529,740-756``): when the sketch is
+ambiguous, the exact structure decides.  Here every LSH candidate pair is
+re-checked with the EXACT shingle Jaccard (and byte-equality for exact dups)
+before it may create a cluster edge — so pipeline precision is 1.0 by
+construction and recall is the only approximation.
+
+Texts are attached with two repartition-friendly joins (pairs ⋈ docs on id1,
+then id2); the Jaccard recompute runs in an Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from ..functions import hashing as H
+from ..functions.text import tokenize
+
+VERIFY_SCHEMA = (
+    "id1 long, id2 long, jaccard double, exact_match boolean, "
+    "n_shingles_1 int, n_shingles_2 int"
+)
+
+
+def _verify_batches(cfg_json: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = SketchConfig.from_json(cfg_json)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            jac = np.empty(n, dtype=np.float64)
+            ns1 = np.empty(n, dtype=np.int32)
+            ns2 = np.empty(n, dtype=np.int32)
+            t1 = pdf["text1"].tolist()
+            t2 = pdf["text2"].tolist()
+            exact = pdf["exact_match"].to_numpy()
+            for i in range(n):
+                if exact[i]:
+                    s1 = H.shingle_hashes(
+                        H.hash_tokens(tokenize(t1[i], cfg.normalization), cache),
+                        cfg.shingle_k,
+                    )
+                    jac[i] = 1.0
+                    ns1[i] = ns2[i] = s1.size
+                    continue
+                s1 = H.shingle_hashes(
+                    H.hash_tokens(tokenize(t1[i], cfg.normalization), cache),
+                    cfg.shingle_k,
+                )
+                s2 = H.shingle_hashes(
+                    H.hash_tokens(tokenize(t2[i], cfg.normalization), cache),
+                    cfg.shingle_k,
+                )
+                inter = np.intersect1d(s1, s2, assume_unique=True).size
+                union = s1.size + s2.size - inter
+                jac[i] = (inter / union) if union else 1.0
+                ns1[i], ns2[i] = s1.size, s2.size
+            if len(cache) > 1_000_000:
+                cache.clear()
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].to_numpy(),
+                    "id2": pdf["id2"].to_numpy(),
+                    "jaccard": jac,
+                    "exact_match": exact,
+                    "n_shingles_1": ns1,
+                    "n_shingles_2": ns2,
+                }
+            )
+
+    return fn
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """candidates(id1, id2) → verified(id1, id2, jaccard, exact_match, ...).
+
+    ``exact_match`` (byte-identical text) is decided JVM-side from md5+length
+    before any Python runs; exact pairs skip the double shingle recompute.
+    """
+    docs = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.length(F.col(text_col)).alias("text_len"),
+    )
+    d1 = docs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("text").alias("text1"),
+        F.col("text_md5").alias("md5_1"),
+        F.col("text_len").alias("len_1"),
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("text").alias("text2"),
+        F.col("text_md5").alias("md5_2"),
+        F.col("text_len").alias("len_2"),
+    )
+    attached = (
+        candidates.select("id1", "id2")
+        .join(d1, "id1")
+        .join(d2, "id2")
+        .withColumn(
+            "exact_match",
+            (F.col("md5_1") == F.col("md5_2")) & (F.col("len_1") == F.col("len_2")),
+        )
+        .select("id1", "id2", "text1", "text2", "exact_match")
+    )
+    return attached.mapInPandas(_verify_batches(cfg.to_json()), VERIFY_SCHEMA)
+
+
+def duplicate_edges(verified: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """Pairs passing the exact threshold → cluster edges."""
+    return verified.filter(
+        (F.col("jaccard") >= cfg.jaccard_threshold) | F.col("exact_match")
+    ).select("id1", "id2")

@@ -1,0 +1,152 @@
+"""Pure-Python scalar oracle — the exact "shadow map" of this engine.
+
+The reference keeps an exact per-key shadow map next to the approximate
+sketch and validates every query against it online
+(``Sketching/LSSFingerprintAtomic.java:77,317-360``;
+``Query/QueryLSSFingerFlowApps.java:196-252``).  This module is our shadow:
+a deliberately simple, loop-based, plain-int implementation of the pinned
+signature spec plus an O(n²) exact-Jaccard oracle.  Tests assert the
+vectorized Spark path matches this bit-for-bit (FIXTURES.md §3).
+
+No numpy in the signature math here — independence from the production
+kernels is the point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .config import SketchConfig
+from .functions.text import tokenize
+
+_M64 = (1 << 64) - 1
+_SM_GAMMA = 0x9E3779B97F4B7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_POLY = ((0x100000001B3 * 0x1000193) | 1) & _M64
+
+
+def _splitmix64(x: int) -> int:
+    z = (x + _SM_GAMMA) & _M64
+    z = ((z ^ (z >> 30)) * _SM_M1) & _M64
+    z = ((z ^ (z >> 27)) * _SM_M2) & _M64
+    return z ^ (z >> 31)
+
+
+def _token_hash(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def oracle_shingles(text: str, cfg: SketchConfig) -> set[int]:
+    toks = tokenize(text, cfg.normalization)
+    th = [_token_hash(t) for t in toks]
+    k = cfg.shingle_k
+    out: set[int] = set()
+    if 0 < len(th) < k:
+        h = th[0]
+        for j in range(1, len(th)):
+            h = (h * _POLY + th[j]) & _M64
+        out.add(_splitmix64(h))
+        return out
+    for i in range(len(th) - k + 1):
+        h = th[i]
+        for j in range(1, k):
+            h = (h * _POLY + th[i + j]) & _M64
+        out.add(_splitmix64(h))
+    return out
+
+
+def oracle_seeds(cfg: SketchConfig) -> list[int]:
+    return [
+        _splitmix64((i + cfg.seed * _SM_GAMMA) & _M64) for i in range(cfg.n_hashes)
+    ]
+
+
+def oracle_minhash(shingles: set[int], cfg: SketchConfig) -> list[int]:
+    seeds = oracle_seeds(cfg)
+    if not shingles:
+        return [_M64] * cfg.n_hashes
+    return [min(_splitmix64(s ^ seed) for s in shingles) for seed in seeds]
+
+
+def oracle_band_keys(sig: list[int], cfg: SketchConfig) -> list[int]:
+    keys = []
+    for b in range(cfg.bands):
+        h = _splitmix64((b + 0xB0A11D) & _M64)
+        for j in range(cfg.rows):
+            h = _splitmix64(h ^ sig[b * cfg.rows + j])
+        keys.append(h)
+    return keys
+
+
+def oracle_simhash(text: str, cfg: SketchConfig) -> int:
+    toks = tokenize(text, cfg.normalization)
+    counts: dict[int, int] = {}
+    for t in toks:
+        h = _token_hash(t)
+        counts[h] = counts.get(h, 0) + 1
+    if not counts:
+        return 0
+    sums = [0] * 64
+    for h, w in counts.items():
+        for b in range(64):
+            sums[b] += w if (h >> b) & 1 else -w
+    out = 0
+    for b in range(64):
+        if sums[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def exact_jaccard(text1: str, text2: str, cfg: SketchConfig) -> float:
+    s1, s2 = oracle_shingles(text1, cfg), oracle_shingles(text2, cfg)
+    if not s1 and not s2:
+        return 1.0
+    u = len(s1 | s2)
+    return len(s1 & s2) / u if u else 0.0
+
+
+def oracle_truth_pairs(
+    docs: list[tuple[int, str]], cfg: SketchConfig, threshold: float | None = None
+) -> list[tuple[int, int, float]]:
+    """O(n²) exact-Jaccard over all pairs (id asc); sf-small only."""
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+    sh = [(i, oracle_shingles(t, cfg)) for i, t in docs]
+    out = []
+    for a in range(len(sh)):
+        ia, sa = sh[a]
+        for b in range(a + 1, len(sh)):
+            ib, sb = sh[b]
+            if not sa and not sb:
+                j = 1.0
+            else:
+                u = len(sa | sb)
+                j = len(sa & sb) / u if u else 0.0
+            if j >= thr:
+                i1, i2 = (ia, ib) if ia < ib else (ib, ia)
+                out.append((i1, i2, j))
+    return out
+
+
+def oracle_clusters(
+    doc_ids: list[int], pairs: list[tuple[int, int]]
+) -> dict[int, int]:
+    """Union-find connected components; label = min doc_id of component."""
+    parent = {d: d for d in doc_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {d: find(d) for d in doc_ids}
