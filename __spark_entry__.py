@@ -1,38 +1,537 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship MinHash+LSH dedup pipeline on the
+sf0.001 documents table.  ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 (plus the training-data-pipeline
+operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+SQL-expressible one.  Non-SQL-expressible entries (MinHash/SimHash/LSH —
+seeded-hash sketches have no SQL analogue) are intentionally absent from
+``oracle_sql()`` → driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.config import SketchConfig
+from localitysensitivesketch_spark.operators import analytics as A
+from localitysensitivesketch_spark.operators import dedup as D
+from localitysensitivesketch_spark.operators import similarity as S
+from localitysensitivesketch_spark.operators import textstats as T
+from localitysensitivesketch_spark.operators.cluster import connected_components
+
+CFG = SketchConfig()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full MinHash+LSH dedup pipeline → cluster stats."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return D.minhash_lsh_dedup(docs, CFG)["cluster_stats"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_rate_by_source(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_distinct_texts") / F.col("n_docs"), 6),
+        )
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_hex")
+
+
+def _q_token_stats(spark, sf_dir):
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_language_id(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, block_cols=("lang",)
+    )
+
+
+def _q_cluster_token_cc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, threshold=0.8, block_cols=("lang",)).select(
+        "id1", "id2"
+    )
+    return connected_components(docs.select("doc_id"), edges)
+
+
+def _q_count_per_key_user(spark, sf_dir):
+    return A.count_per_key(_t(spark, sf_dir, "events"), "user_id")
+
+
+def _q_heavy_hitters_users(spark, sf_dir):
+    counts = A.count_per_key(_t(spark, sf_dir, "events"), "user_id")
+    return A.heavy_hitters(counts, q=0.9)
+
+
+def _q_top_k_users(spark, sf_dir):
+    counts = A.count_per_key(_t(spark, sf_dir, "events"), "user_id")
+    return A.top_k(counts, k=10)
+
+
+def _q_entropy_event_type(spark, sf_dir):
+    counts = A.count_per_key(_t(spark, sf_dir, "events"), "event_type")
+    return A.entropy(counts)
+
+
+def _q_distinct_users_per_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+
+
+def _q_percentile_threshold_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(F.col("value").alias("cnt"))
+    return A.percentile_threshold(ev, q=0.9)
+
+
+def _q_histogram_cdf_value(spark, sf_dir):
+    return A.histogram_cdf(_t(spark, sf_dir, "events"), "value", bucket_size=25.0)
+
+
+_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def _q_heavy_change_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wa = A.count_per_key(ev.filter(F.col("ts") < F.lit(_SPLIT_TS)), "user_id")
+    wb = A.count_per_key(ev.filter(F.col("ts") >= F.lit(_SPLIT_TS)), "user_id")
+    return A.heavy_change(wa, wb, threshold=5)
+
+
+def _q_error_stats_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    means = ev.groupBy("event_type").agg(F.avg("value").alias("est_val"))
+    joined = ev.join(F.broadcast(means), "event_type").select(
+        F.col("value").alias("true_val"), "est_val"
+    )
+    return A.error_stats(joined)
+
+
+def _q_window_daily_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_f1_hh_count_vs_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    by_cnt = A.heavy_hitters(A.count_per_key(ev, "user_id"), q=0.9)
+    sums = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.sum("value").alias("cnt")
+    )
+    by_sum = A.heavy_hitters(sums, q=0.9)
+    return A.f1_score(by_cnt, by_sum)
+
+
+def _q_json_extract_props(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("*").alias("n"))
+    )
+
+
+def _q_revenue_per_nation(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_base_cents"
+        ),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+def _q_knn_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return S.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+
+
+# --- non-SQL-expressible (seeded-hash sketches) → rows-only check ---
+
+
+def _q_minhash_band_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from localitysensitivesketch_spark.operators.candidates import band_candidates
+    from localitysensitivesketch_spark.operators.signatures import compute_signatures
+
+    sigs = compute_signatures(docs, CFG)
+    pairs, _ = band_candidates(sigs, CFG)
+    return pairs
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return D.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), CFG)
+
+
+def _q_dedup_cluster_stats(spark, sf_dir):
+    return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), CFG)["cluster_stats"]
+
+
+def _q_ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "text_fingerprint": _q_text_fingerprint,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "language_id": _q_language_id,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "cluster_token_cc": _q_cluster_token_cc,
+        "count_per_key_user": _q_count_per_key_user,
+        "heavy_hitters_users": _q_heavy_hitters_users,
+        "top_k_users": _q_top_k_users,
+        "entropy_event_type": _q_entropy_event_type,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "percentile_threshold_value": _q_percentile_threshold_value,
+        "histogram_cdf_value": _q_histogram_cdf_value,
+        "heavy_change_users": _q_heavy_change_users,
+        "error_stats_value": _q_error_stats_value,
+        "window_daily_counts": _q_window_daily_counts,
+        "f1_hh_count_vs_sum": _q_f1_hh_count_vs_sum,
+        "json_extract_props": _q_json_extract_props,
+        "revenue_per_nation": _q_revenue_per_nation,
+        "tpch_q1": _q_tpch_q1,
+        "knn_cosine_topk": _q_knn_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_band_candidates": _q_minhash_band_candidates,
+        "simhash_pairs": _q_simhash_pairs,
+        "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the same tables)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+)
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       n_tokens,
+       round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(n_upper * 1.0 / n_chars, 6) AS upper_ratio,
+       round(
+         (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN n_punct * 1.0 / n_chars < 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_stop * 1.0 / n_tokens > 0.01 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_upper * 1.0 / n_chars < 0.3 THEN 0.2 ELSE 0.0 END), 6
+       ) AS quality_score
+FROM (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> t IN ('the','and','of','to','in','a','is'))) AS n_stop,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM documents
+)
+"""
+
+_LANG_SCORE = {
+    "en": "('the','and','of','to','in')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','et','les','des')",
+    "es": "('el','la','de','que','los')",
+}
+
+_LANG_SQL = (
+    "SELECT doc_id, score_en, score_de, score_fr, score_es,\n"
+    "  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'\n"
+    "       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'\n"
+    "       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'\n"
+    "       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'\n"
+    "       ELSE 'es' END AS pred_lang\n"
+    "FROM (SELECT doc_id,\n"
+    + ",\n".join(
+        "  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" t -> t IN {inlist})) AS score_{lang}"
+        for lang, inlist in _LANG_SCORE.items()
+    )
+    + "\nFROM documents)"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+"""
+
+_CC_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+), reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS nbr_id, {_COS} AS cos_raw
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT query_id, nbr_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS}, 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS}, 6) >= 0.3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact_groups": """
+            SELECT md5(text) AS text_md5, count(*) AS group_size,
+                   min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+        """,
+        "dedup_rate_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct_texts,
+                   round(1 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate
+            FROM documents GROUP BY source
+        """,
+        "text_fingerprint": "SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex FROM documents",
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
+                   length(text) AS n_chars,
+                   round(length(text) * 1.0
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS chars_per_token
+            FROM documents
+        """,
+        "quality_score": _QUALITY_SQL,
+        "language_id": _LANG_SQL,
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "cluster_token_cc": _CC_SQL,
+        "count_per_key_user": "SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id",
+        "heavy_hitters_users": """
+            WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+            t AS (SELECT quantile_cont(cnt, 0.9) AS threshold FROM c)
+            SELECT c.key, c.cnt FROM c, t WHERE c.cnt > t.threshold
+        """,
+        "top_k_users": """
+            WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+            r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank FROM c)
+            SELECT key, cnt, rank FROM r WHERE rank <= 10
+        """,
+        "entropy_event_type": """
+            WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+            t AS (SELECT sum(cnt) AS tot FROM c)
+            SELECT round(-sum((cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)), 6) AS entropy FROM c, t
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "percentile_threshold_value": "SELECT round(quantile_cont(value, 0.9), 6) AS threshold FROM events",
+        "histogram_cdf_value": """
+            WITH b AS (
+              SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS cnt
+              FROM events GROUP BY 1
+            ), t AS (SELECT sum(cnt) AS tot FROM b)
+            SELECT bucket, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt,
+                   round(sum(cnt) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                         / (SELECT tot FROM t), 6) AS cdf
+            FROM b
+        """,
+        "heavy_change_users": f"""
+            WITH wa AS (SELECT user_id AS key, count(*) AS cnt FROM events
+                        WHERE ts < TIMESTAMP '{_SPLIT_TS}' GROUP BY user_id),
+            wb AS (SELECT user_id AS key, count(*) AS cnt FROM events
+                   WHERE ts >= TIMESTAMP '{_SPLIT_TS}' GROUP BY user_id)
+            SELECT coalesce(wa.key, wb.key) AS key,
+                   coalesce(wa.cnt, 0) AS cnt_a,
+                   coalesce(wb.cnt, 0) AS cnt_b,
+                   abs(coalesce(wb.cnt, 0) - coalesce(wa.cnt, 0)) AS delta
+            FROM wa FULL OUTER JOIN wb ON wa.key = wb.key
+            WHERE abs(coalesce(wb.cnt, 0) - coalesce(wa.cnt, 0)) > 5
+        """,
+        "error_stats_value": """
+            WITH m AS (SELECT event_type, avg(value) AS est_val FROM events GROUP BY event_type),
+            e AS (SELECT abs(events.value - m.est_val) / abs(events.value) AS rel_err
+                  FROM events JOIN m ON events.event_type = m.event_type)
+            SELECT round(avg(rel_err), 6) AS mean_err,
+                   round(stddev(rel_err), 6) AS std_err,
+                   round(quantile_cont(rel_err, 0.5), 6) AS p50_err,
+                   round(quantile_cont(rel_err, 0.9), 6) AS p90_err,
+                   round(quantile_cont(rel_err, 0.99), 6) AS p99_err,
+                   round(min(rel_err), 6) AS min_err,
+                   round(max(rel_err), 6) AS max_err
+            FROM e
+        """,
+        "window_daily_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS key, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "f1_hh_count_vs_sum": """
+            WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+            tc AS (SELECT quantile_cont(cnt, 0.9) AS thr FROM c),
+            hc AS (SELECT key FROM c, tc WHERE cnt > thr),
+            s AS (SELECT user_id AS key, sum(value) AS cnt FROM events GROUP BY user_id),
+            ts_ AS (SELECT quantile_cont(cnt, 0.9) AS thr FROM s),
+            hs AS (SELECT key FROM s, ts_ WHERE cnt > thr),
+            x AS (SELECT count(*) AS n_intersect FROM hc JOIN hs USING (key)),
+            ne AS (SELECT count(*) AS n_estimated FROM hc),
+            nt AS (SELECT count(*) AS n_truth FROM hs)
+            SELECT n_intersect, n_estimated, n_truth,
+                   round(n_intersect * 1.0 / n_estimated, 6) AS precision,
+                   round(n_intersect * 1.0 / n_truth, 6) AS recall,
+                   round(2.0 * (n_intersect * 1.0 / n_estimated) * (n_intersect * 1.0 / n_truth)
+                         / ((n_intersect * 1.0 / n_estimated) + (n_intersect * 1.0 / n_truth)), 6) AS f1
+            FROM x, ne, nt
+        """,
+        "json_extract_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "revenue_per_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "knn_cosine_topk": _KNN_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+    }

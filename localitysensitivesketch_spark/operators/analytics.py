@@ -1,0 +1,200 @@
+"""Windowed flow-analytics suite re-expressed over keyed DataFrames.
+
+Reference analogue: the Query stage's per-window analytics
+(``Query/QueryLSSFingerFlowApps.java:196-459`` and
+``Query/AsyncFlowApps.java``): per-key frequency, distinct count, entropy,
+p90-threshold heavy hitters, heavy change between adjacent windows, relative
+error statistics, F1 scoring.  Every operator here is a declarative
+DataFrame transform — Catalyst gets partial aggregation, AQE sizing and
+whole-stage codegen for free (SURVEY §4.1).
+
+All floats are rounded to 6 decimals at the output edge so results are
+bit-comparable with an independent ANSI-SQL oracle (the reference's
+shadow-map validation pattern, ``LSSFingerprintAtomic.java:317-360``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+def count_per_key(df: DataFrame, key_col: str) -> DataFrame:
+    """A1 hash agg (``Pub4PCapStreamKVTable.java:360-374``): per-key count.
+
+    Spark executes this as partial (map-side) + final hash aggregation —
+    the engine-native version of the reference's pre-aggregate-then-publish.
+    """
+    return df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+
+
+def sum_per_key(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """A2 upsert-sum (``LSSFingerprintAtomic.java:325-360``)."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        _r6(F.sum(val_col)).alias("total")
+    )
+
+
+def distinct_count(df: DataFrame, key_col: str, approximate: bool = False) -> DataFrame:
+    """A5 (``LSSFingerprintAtomic.java:976-1001``): exact shadow-map count or
+    the approximate (HLL) variant mirroring cuckoo ``getCount``."""
+    agg = (
+        F.approx_count_distinct(key_col) if approximate else F.countDistinct(key_col)
+    )
+    return df.agg(agg.alias("distinct_keys"))
+
+
+def entropy(counts: DataFrame, cnt_col: str = "cnt") -> DataFrame:
+    """A6 empirical entropy (``AsyncFlowApps.java:83-103``): −Σ p·ln p over
+    the key-frequency distribution (normalized; the reference computes the
+    unnormalized Σ −v·ln v then normalizes downstream)."""
+    tot = counts.agg(F.sum(cnt_col).alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select((F.col(cnt_col) / F.col("tot")).alias("p"))
+        .agg(_r6(-F.sum(F.col("p") * F.log(F.col("p")))).alias("entropy"))
+    )
+
+
+def percentile_threshold(
+    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt"
+) -> DataFrame:
+    """A7 (``QueryLSSFingerFlowApps.java:312-325``): exact interpolated
+    percentile of the count distribution → heavy-hitter threshold."""
+    return counts.agg(
+        _r6(F.expr(f"percentile({cnt_col}, {q})")).alias("threshold")
+    )
+
+
+def heavy_hitters(
+    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt"
+) -> DataFrame:
+    """A9 (``AsyncFlowApps.java:111-129``): keys with count strictly above the
+    p-quantile threshold.  The threshold is a 1-row aggregate → broadcast
+    (no shuffle of the big side)."""
+    thr = percentile_threshold(counts, q, cnt_col)
+    return (
+        counts.crossJoin(F.broadcast(thr))
+        .filter(F.col(cnt_col) > F.col("threshold"))
+        .select("key", F.col(cnt_col).alias("cnt"))
+    )
+
+
+def top_k(counts: DataFrame, k: int, cnt_col: str = "cnt") -> DataFrame:
+    """Deterministic top-k by count (ties broken by key) via rank window."""
+    w = Window.orderBy(F.col(cnt_col).desc(), F.col("key").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("key", F.col(cnt_col).alias("cnt"), "rank")
+    )
+
+
+def heavy_change(
+    window_a: DataFrame,
+    window_b: DataFrame,
+    threshold: float,
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """W3/J1 heavy change (``AsyncFlowApps.java:142-207``;
+    ``QueryLSSFingerFlowApps.java:277-304``): keys whose count changed by
+    more than ``threshold`` between adjacent windows.  Full outer join so
+    appearing/disappearing keys count with their whole mass (absent → 0),
+    like the reference's set-union semantics over the two windows."""
+    a = window_a.select("key", F.col(cnt_col).alias("cnt_a"))
+    b = window_b.select("key", F.col(cnt_col).alias("cnt_b"))
+    return (
+        a.join(b, "key", "full_outer")
+        .select(
+            "key",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .withColumn("delta", F.abs(F.col("cnt_b") - F.col("cnt_a")))
+        .filter(F.col("delta") > threshold)
+    )
+
+
+def error_stats(
+    joined: DataFrame, true_col: str = "true_val", est_col: str = "est_val"
+) -> DataFrame:
+    """A8 relative-error statistics (``QueryLSSFingerFlowApps.java:333-389``):
+    per-key rel. err → mean / stddev / p50 / p90 / p99 / min / max."""
+    err = joined.select(
+        (F.abs(F.col(est_col) - F.col(true_col)) / F.abs(F.col(true_col))).alias(
+            "rel_err"
+        )
+    )
+    return err.agg(
+        _r6(F.mean("rel_err")).alias("mean_err"),
+        _r6(F.stddev("rel_err")).alias("std_err"),
+        _r6(F.expr("percentile(rel_err, 0.5)")).alias("p50_err"),
+        _r6(F.expr("percentile(rel_err, 0.9)")).alias("p90_err"),
+        _r6(F.expr("percentile(rel_err, 0.99)")).alias("p99_err"),
+        _r6(F.min("rel_err")).alias("min_err"),
+        _r6(F.max("rel_err")).alias("max_err"),
+    )
+
+
+def histogram_cdf(
+    df: DataFrame, val_col: str, bucket_size: float
+) -> DataFrame:
+    """A10 histogram + CDF (``util/async/StatCDF_Histogram.java:96-143``):
+    fixed-width buckets, counts, and the running cumulative fraction via a
+    rank window (``rowsBetween(unboundedPreceding, current)``)."""
+    buckets = (
+        df.select((F.floor(F.col(val_col) / bucket_size)).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = buckets.agg(F.sum("cnt").alias("tot"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .select(
+            "bucket",
+            "cnt",
+            "cum_cnt",
+            _r6(F.col("cum_cnt") / F.col("tot")).alias("cdf"),
+        )
+    )
+
+
+def f1_score(estimated: DataFrame, truth: DataFrame, key_col: str = "key") -> DataFrame:
+    """A14/J2 (``QueryLSSFingerFlowApps.java:447-459``): F1 of the estimated
+    key set vs the true key set, via inner-join (intersection) counts."""
+    e = estimated.select(F.col(key_col).alias("key")).distinct()
+    t = truth.select(F.col(key_col).alias("key")).distinct()
+    inter = e.join(t, "key", "inner").count()
+    ne, nt = e.count(), t.count()
+    precision = inter / ne if ne else 0.0
+    recall = inter / nt if nt else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    )
+    spark = estimated.sparkSession
+    return spark.createDataFrame(
+        [(inter, ne, nt, round(precision, 6), round(recall, 6), round(f1, 6))],
+        "n_intersect long, n_estimated long, n_truth long, "
+        "precision double, recall double, f1 double",
+    )
+
+
+def tumbling_window_counts(
+    df: DataFrame, ts_col: str, key_col: str, duration: str = "1 day"
+) -> DataFrame:
+    """W1 count-tumbling window re-expressed on event time
+    (``Sub4SketchingKVStream.java:353-394``): per (window, key) counts."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), duration).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "key", "cnt")
+    )

@@ -1,0 +1,144 @@
+"""Deduplication front door: every dedup flavor as one operator each.
+
+The engine's reason to exist (BASELINE.json north_rule).  Four tiers, in
+increasing cost — a 100 TB pipeline runs them in this order so each tier
+shrinks the input of the next:
+
+1. **exact** — fingerprint groupBy (``LSSFingerprintAtomic.java:382-414``
+   fingerprint-compression analogue): one shuffle on a 16-byte key.
+2. **n-gram Jaccard within blocks** — token-set overlap on a cheap blocking
+   key; JVM-side array ops, SQL-expressible (oracle-checkable).
+3. **MinHash + LSH banding** — the signature pipeline (signatures →
+   salted band join → exact verify), sub-quadratic at corpus scale.
+4. **SimHash Hamming-ball** — bit-vector near-fingerprint candidates.
+
+Tiers 3-4 reuse the staged operators (signatures/candidates/verify/cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from .candidates import band_candidates, simhash_candidates
+from .cluster import connected_components
+from .signatures import compute_signatures
+from .verify import duplicate_edges, verify_pairs
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per duplicated text
+    (group size ≥ 2) with the canonical (min) doc id.  At 100 TB this is a
+    single hash-partitioned aggregation on md5 — no pairwise work at all."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one doc (min id) per distinct text — the classic
+    training-data exact-dedup pass.  Aggregate-then-semi-join: the wide doc
+    payload is never shuffled, only (id, md5)."""
+    keep = (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return df.join(keep, on=df[id_col] == keep["doc_id"], how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-set (1-gram) Jaccard pairs within blocking groups — JVM-side
+    ``array_intersect``/``array_union`` on distinct token arrays, so it has
+    an exact SQL oracle.  Blocking bounds the self-join (at scale the block
+    key is an LSH band or shard key; all-pairs is never materialized)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("", *[F.col(c) for c in block_cols]).alias("blk"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    a = base.select(
+        F.col("doc_id").alias("id1"), F.col("toks").alias("t1"), "blk"
+    )
+    b = base.select(
+        F.col("doc_id").alias("id2"), F.col("toks").alias("t2"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.size(F.array_intersect("t1", "t2"))
+                / F.size(F.array_union("t1", "t2")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    documents: DataFrame,
+    cfg: SketchConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Full MinHash+LSH pipeline over any documents table → dict of every
+    stage output (signatures, candidates, skew metrics, verified, edges,
+    clusters, cluster stats).  This is the engine spine (SURVEY §3.4)."""
+    cfg = cfg or SketchConfig()
+    sigs = compute_signatures(documents, cfg, id_col=id_col, text_col=text_col)
+    candidates, skew_metrics = band_candidates(sigs, cfg)
+    verified = verify_pairs(candidates, documents, cfg, id_col=id_col, text_col=text_col)
+    edges = duplicate_edges(verified, cfg)
+    vertices = documents.select(F.col(id_col).cast("long").alias("doc_id"))
+    clusters = connected_components(vertices, edges)
+    stats = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("size"), F.min("doc_id").alias("canonical_doc_id")
+    )
+    return {
+        "signatures": sigs,
+        "candidates": candidates,
+        "skew_metrics": skew_metrics,
+        "verified": verified,
+        "edges": edges,
+        "clusters": clusters,
+        "cluster_stats": stats,
+    }
+
+
+def simhash_dedup_pairs(
+    documents: DataFrame,
+    cfg: SketchConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-fingerprint pairs (Hamming ≤ radius) over any documents
+    table — the bit-vector tier (``LSSFingerprintAtomic.java:382-414``
+    FingerLen-fingerprint analogue, widened to 64 bits)."""
+    cfg = cfg or SketchConfig()
+    sigs = compute_signatures(documents, cfg, id_col=id_col, text_col=text_col)
+    pairs, _ = simhash_candidates(sigs, cfg)
+    return pairs

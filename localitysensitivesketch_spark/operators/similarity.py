@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (array<float>).
+
+The scale path mirrors the engine's LSH design (and the reference's
+locality-sensitive placement, ``Sketching/LSSFingerprintAtomic.java:
+474-498,628-636``: similar values → same bucket): random-hyperplane SimHash
+buckets the corpus so candidate generation is an equi-join, with brute-force
+cosine as the exact baseline/verifier (the shadow-map pattern).
+
+Plan shape at 100 TB: the query set is small → ``F.broadcast`` (no shuffle
+of the corpus); dot products run JVM-side via higher-order array functions
+(``zip_with`` + ``aggregate``) inside whole-stage codegen — no Python in the
+brute-force path.  The LSH variant computes sign-bit fingerprints in one
+Arrow-batched numpy matmul per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("vec_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries is broadcast (small side); the corpus streams through one
+    codegen'd stage — scan → crossJoin(broadcast) → project(dot) → window
+    top-k.  Self-matches are excluded.  Ties break by neighbor id (asc) so
+    results are deterministic at any parallelism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("nbr_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("nbr_vec"))
+                / (F.col("q_norm") * F.col("nbr_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
+
+    ``block_col`` is the blocking key for the self-join (at 100 TB an
+    all-pairs cross join is impossible; block on an LSH bucket / shard key —
+    here the dataset's label column, or hyperplane buckets from
+    :func:`hyperplane_buckets`).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.select(
+        F.col("vid").alias("id1"), F.col("vec").alias("v1"),
+        F.col("nrm").alias("n1"), "blk",
+    )
+    b = base.select(
+        F.col("vid").alias("id2"), F.col("vec").alias("v2"),
+        F.col("nrm").alias("n2"), "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate path (random hyperplanes → sign-bit fingerprint)
+# ---------------------------------------------------------------------------
+
+_HYPERPLANE_SCHEMA = "vec_id long, bucket long"
+
+
+def _hyperplane_fn(dim: int, n_bits: int, seed: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # deterministic hyperplanes from the pinned seed (same construction
+        # as the MinHash family: splitmix64-derived, SURVEY §4.2 item 3)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bits))
+        weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (mat @ planes) > 0
+            buckets = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "bucket": H.u64_to_i64(buckets.astype(np.uint64)),
+                }
+            )
+
+    return fn
+
+
+def hyperplane_buckets(
+    corpus: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-bit fingerprint under ``n_bits`` deterministic
+    random hyperplanes — one Arrow-batched matmul per batch; cosine-similar
+    vectors share buckets with probability (1 − θ/π)^n_bits."""
+    pruned = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    return pruned.mapInPandas(_hyperplane_fn(dim, n_bits, seed), _HYPERPLANE_SCHEMA)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane bucket, then exact
+    cosine re-rank (generate-then-verify, like the dedup pipeline)."""
+    cb = hyperplane_buckets(corpus, dim, n_bits, seed, id_col, vec_col)
+    qb = hyperplane_buckets(queries, dim, n_bits, seed, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("nbr_norm"),
+    ).join(cb.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    ).join(qb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("nbr_vec"))
+                / (F.col("q_norm") * F.col("nbr_norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for a training-data pipeline.
+
+These are the corpus-hygiene operators a 100 TB web-text pipeline runs
+before/alongside dedup: token counting, quality scoring, language
+identification, document fingerprinting.  The reference's analogue is its
+key-projection + fingerprint layer (``Ingest/Pub4PCapStreamKVTable.java:
+405-503`` headerChoice projections; ``Sketching/LSSFingerprintAtomic.java:
+382-414`` fingerprint compression) — a cheap per-record derivation computed
+inline with ingestion.
+
+Everything here is built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen — no Python in the hot path), so each operator has an
+exact ANSI-SQL oracle and pushes column pruning down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately simple and deterministic — the operator's value is the
+# *shape* (scored projection, argmax over broadcast lexicons), not NLP
+# accuracy; swap lexicons for real ones in production.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+_TOKEN_PAT = r"\\S+"
+_PUNCT_PAT = r"[^\\w\\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars, avg token
+    length.  All codegen'd string ops on the pruned (id, text) projection."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.round(F.length(F.col(text_col)) / F.size(toks), 6).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, uppercase
+    ratio → a composite [0,1] score.  A Gopher/C4-style rule filter shape."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '{_PUNCT_PAT}', 0)"))
+    n_stop = F.size(
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+            "t -> t IN ('the','and','of','to','in','a','is'))"
+        )
+    )
+    n_upper = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Z]', 0)"))
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    upper_ratio = n_upper / n_chars
+    len_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.2).otherwise(0.0)
+        + F.when(upper_ratio < 0.3, 0.2).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: count marker-word hits per language lexicon,
+    argmax wins ('und' = undetermined when all scores are 0).  The lexicons
+    are literal IN-lists → broadcast into codegen, no join, no shuffle."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def marker_score(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    # first language (in fixed order) achieving the max — deterministic
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[l].cast("long").alias(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting (``LSSFingerprintAtomic.java:382-414``
+    analogue): compress the document to short stable fingerprints — a
+    16-hex-char content hash plus a 64-bit xxhash64.  Used as the exact-dup
+    key and as a cheap equality prefilter before any pairwise work."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.md5(F.col(text_col)), 1, 16).alias("fp_hex"),
+        F.xxhash64(F.col(text_col)).alias("fp64"),
+    )
