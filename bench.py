@@ -1,0 +1,98 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "docs_per_sec_minhash_lsh": ..., "cpus": ...}
+
+The dedup pipeline (signatures → LSH candidates → verify → clusters) is the
+flagship; the rest covers analytics, joins, text stats and similarity.
+Run with SPARK_GRAFT_CPUS=8 and =32 on the same input for the two-
+parallelism scaling-efficiency evidence (BASELINE.md target ≥0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from localitysensitivesketch_spark.config import SketchConfig  # noqa: E402
+from localitysensitivesketch_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as E
+
+    spark = get_spark(
+        app_name=f"lss-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    cfg = SketchConfig()
+
+    qs = E.queries()
+    bench_queries = [
+        "dedup_cluster_stats",      # flagship: full MinHash+LSH dedup pipeline
+        "minhash_band_candidates",  # signature + candidate stages
+        "simhash_pairs",
+        "ngram_jaccard_pairs",
+        "cluster_token_cc",
+        "token_stats",
+        "quality_score",
+        "language_id",
+        "heavy_hitters_users",
+        "heavy_change_users",
+        "entropy_event_type",
+        "histogram_cdf_value",
+        "tpch_q1",
+        "revenue_per_nation",
+        "knn_cosine_topk",
+        "embedding_near_dup",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: rows={n} sec={timings[name]}", file=sys.stderr)
+
+    # MinHash+LSH throughput: docs/sec through signatures + banding + verify
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pipeline_sec = timings["dedup_cluster_stats"]
+    docs_per_sec = round(n_docs / pipeline_sec, 1) if pipeline_sec else None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_docs": n_docs,
+                "docs_per_sec_minhash_lsh": docs_per_sec,
+                "cpus": cpus,
+                "config": json.loads(cfg.to_json()),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,58 @@ def hamming_ball_keys(fp: int, radius: int, table_bits: int = 16) -> list[int]:
     return keys
 
 
+def rolling_window_hashes(token_hashes: np.ndarray, L: int) -> np.ndarray:
+    """Polynomial rolling hash of every L-token window (uint64 wraparound).
+
+    h(i) = Σ_{j<L} t[i+j] · P^{L-1-j}; computed by the O(n) slide
+    h(i+1) = (h(i) − t[i]·P^{L-1})·P + t[i+L].  Returns n−L+1 hashes
+    (empty if the doc is shorter than L).
+    """
+    n = len(token_hashes)
+    if n < L:
+        return np.empty(0, dtype=U64)
+    t = token_hashes.astype(U64)
+    m = n - L + 1
+    with np.errstate(over="ignore"):
+        # h(i) = P^{L-1+i} · (S[i+L] − S[i]),  S[k] = Σ_{u<k} t[u]·Pinv^u
+        # (all mod 2^64; P odd ⇒ invertible).  Fully vectorized.
+        pinv = pow(int(_POLY), -1, 1 << 64)
+        powers = np.empty(n, dtype=U64)  # P^i
+        powers[0] = U64(1)
+        inv_powers = np.empty(n, dtype=U64)  # Pinv^i
+        inv_powers[0] = U64(1)
+        if n > 1:
+            np.multiply.accumulate(np.full(n - 1, _POLY, dtype=U64), out=powers[1:])
+            np.multiply.accumulate(
+                np.full(n - 1, U64(pinv), dtype=U64), out=inv_powers[1:]
+            )
+        weighted = t * inv_powers
+        S = np.zeros(n + 1, dtype=U64)
+        np.add.accumulate(weighted, out=S[1:])
+        pl_1 = powers[L - 1]
+        out = (S[L:] - S[:m]) * pl_1 * powers[:m]
+    return splitmix64(out)
+
+
+def winnow(window_hashes: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003):
+    positions whose hash is the minimum of some length-w window of hashes.
+
+    Guarantee: two docs sharing a verbatim run of ≥ L + w − 1 tokens share
+    at least one selected (position, hash) fingerprint.  Returns the sorted
+    unique positions selected.
+    """
+    m = len(window_hashes)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= w:
+        return np.array([int(np.argmin(window_hashes))], dtype=np.int64)
+    # sliding-window argmin via stride trick (w windows is fine: w ≤ 256)
+    sw = np.lib.stride_tricks.sliding_window_view(window_hashes, w)
+    mins = sw.argmin(axis=1) + np.arange(sw.shape[0])
+    return np.unique(mins)
+
+
 def u64_to_i64(a: np.ndarray) -> np.ndarray:
     """Reinterpret uint64 → int64 for Spark LongType columns."""
     return a.view(np.int64)

@@ -1,0 +1,162 @@
+"""Exact long-substring duplicate detection (the "suffix-array pass").
+
+North_rule requires a pass catching pairs sharing a verbatim token run of
+≥ ``cfg.sa_min_len`` even when whole-document similarity is low (quoted
+blocks, boilerplate, syndicated articles).  The reference has no analogue
+(SURVEY §2.9) — its closest machinery is the fingerprint layer
+(``Sketching/LSSFingerprintAtomic.java:382-414``).
+
+Design — winnowing (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003) instead of a
+per-group suffix array, because it distributes:
+
+1. per doc: rolling polynomial hashes of every L-token window (O(n),
+   vectorized), then winnow with window ``w`` — selecting local-minimum
+   fingerprints.  **Guarantee**: a shared verbatim run of ≥ L + w − 1
+   tokens ⇒ ≥ 1 shared (hash) fingerprint.  With L = sa_min_len − w + 1
+   every run of ≥ sa_min_len tokens is caught.
+2. explode (doc_id, pos, fp) → equi-join on fp (the same salted/capped
+   band-join machinery as MinHash candidates — one code path for skew).
+3. per candidate pair: aligned matches lie on a diagonal (pos1 − pos2
+   constant); the max aligned extent estimates the shared-run length.
+
+A suffix array over each duplicate cluster would answer "longest common
+substring" exactly but requires co-locating whole clusters; winnowing keeps
+stage 1 embarrassingly parallel and stage 2 a plain shuffle join — the
+100 TB-safe shape.  Density: one fingerprint per ~w/2 windows ⇒ ~2·n/w
+rows per doc, tunable via ``w``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from ..functions import hashing as H
+from ..functions.text import tokenize
+from .candidates import pairs_by_key
+
+FINGERPRINT_SCHEMA = "doc_id long, pos int, fp long"
+
+WINNOW_W = 64  # winnowing window (w); L = sa_min_len - w + 1
+
+
+def _fingerprint_fn(cfg_json: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = SketchConfig.from_json(cfg_json)
+        L = max(cfg.sa_min_len - WINNOW_W + 1, 2)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = tokenize(text, cfg.normalization)
+                th = H.hash_tokens(toks, cache)
+                wh = H.rolling_window_hashes(th, L)
+                sel = H.winnow(wh, WINNOW_W)
+                if sel.size == 0:
+                    continue
+                ids.append(np.full(sel.size, doc_id, dtype=np.int64))
+                poss.append(sel.astype(np.int32))
+                fps.append(H.u64_to_i64(wh[sel]))
+            if len(cache) > 1_000_000:
+                cache.clear()
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "fp": np.concatenate(fps),
+                }
+            )
+
+    return fn
+
+
+def substring_fingerprints(
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents → (doc_id, pos, fp) winnowed window fingerprints."""
+    pruned = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return pruned.mapInPandas(_fingerprint_fn(cfg.to_json()), FINGERPRINT_SCHEMA)
+
+
+def substring_pairs(
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Pairs sharing ≥1 winnowed fingerprint, with an aligned-extent
+    estimate of the shared run (``overlap_est`` in tokens, ≥ L means a
+    genuine ≥L-token verbatim block given 64-bit collision odds).
+
+    Returns (pairs, skew_metrics).  pairs: id1 < id2, n_shared_fps,
+    overlap_est.
+    """
+    L = max(cfg.sa_min_len - WINNOW_W + 1, 2)
+    fps = substring_fingerprints(documents, cfg, id_col, text_col)
+
+    # same salted/capped machinery as the band join — reuse via pairs_by_key
+    # on the fp key, but keep positions: join fingerprints directly.
+    keyed = fps.select("doc_id", F.col("fp").alias("key"))
+    _, metrics = pairs_by_key(keyed, cfg)  # metrics only (width classes)
+
+    widths = fps.groupBy("fp").agg(F.count("*").alias("width"))
+    ok = fps.join(
+        F.broadcast(widths.filter(F.col("width") > cfg.band_width_cap).select("fp")),
+        "fp",
+        "left_anti",
+    )
+    a = ok.select(
+        F.col("fp"), F.col("doc_id").alias("id1"), F.col("pos").alias("pos1")
+    )
+    b = ok.select(
+        F.col("fp"), F.col("doc_id").alias("id2"), F.col("pos").alias("pos2")
+    )
+    matches = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag"))
+    )
+    pairs = (
+        matches.groupBy("id1", "id2", "diag")
+        .agg(
+            F.count("*").alias("n_on_diag"),
+            (F.max("pos1") - F.min("pos1")).alias("extent"),
+        )
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum("n_on_diag").cast("long").alias("n_shared_fps"),
+            (F.max("extent") + F.lit(L)).cast("long").alias("overlap_est"),
+        )
+    )
+    return pairs, metrics
+
+
+def substring_duplicates(
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs sharing a verbatim token run.
+
+    Any shared fingerprint already proves a shared L-token window
+    (L = sa_min_len − w + 1; 64-bit hash, collision ≈ 2⁻⁶⁴), so every pair
+    returned shares ≥ L verbatim tokens; recall is guaranteed for runs
+    ≥ sa_min_len (= L + w − 1, the winnowing bound).  ``overlap_est`` is a
+    lower bound on the true shared-run length.
+    """
+    pairs, _ = substring_pairs(documents, cfg, id_col, text_col)
+    return pairs.select("id1", "id2", "n_shared_fps", "overlap_est")

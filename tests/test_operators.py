@@ -1,0 +1,221 @@
+"""Operator-level tests: analytics, text stats, similarity, substring pass,
+checkpoint/resume pipeline (SURVEY §5.2 items 1, 3, 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.config import SketchConfig
+from localitysensitivesketch_spark.fixtures import corpus_to_spark, generate_corpus
+from localitysensitivesketch_spark.operators import analytics as A
+from localitysensitivesketch_spark.operators import similarity as S
+from localitysensitivesketch_spark.operators import textstats as T
+from localitysensitivesketch_spark.operators.signatures import with_doc_id
+from localitysensitivesketch_spark.operators.substring import substring_duplicates
+from localitysensitivesketch_spark.plans.pipeline import DedupPipeline
+
+CFG = SketchConfig()
+
+
+# ---------------------------------------------------------------------------
+# analytics
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_change_full_outer_semantics(spark):
+    wa = spark.createDataFrame([("a", 10), ("b", 3), ("gone", 7)], "key string, cnt long")
+    wb = spark.createDataFrame([("a", 2), ("b", 4), ("new", 9)], "key string, cnt long")
+    out = {r["key"]: r for r in A.heavy_change(wa, wb, threshold=5).collect()}
+    assert set(out) == {"a", "gone", "new"}
+    assert out["gone"]["cnt_b"] == 0 and out["gone"]["delta"] == 7
+    assert out["new"]["cnt_a"] == 0 and out["new"]["delta"] == 9
+
+
+def test_entropy_uniform(spark):
+    counts = spark.createDataFrame([("k%d" % i, 1) for i in range(8)], "key string, cnt long")
+    got = A.entropy(counts).collect()[0]["entropy"]
+    assert got == pytest.approx(np.log(8), abs=1e-6)
+
+
+def test_f1_score_exact(spark):
+    est = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+    truth = spark.createDataFrame([("b",), ("c",), ("d",)], "key string")
+    r = A.f1_score(est, truth).collect()[0]
+    assert r["n_intersect"] == 2
+    assert r["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["f1"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_heavy_hitters_strict_threshold(spark):
+    rows = [("k%d" % i, c) for i, c in enumerate([1] * 9 + [100])]
+    counts = spark.createDataFrame(rows, "key string, cnt long")
+    hh = A.heavy_hitters(counts, q=0.9).collect()
+    assert [r["key"] for r in hh] == ["k9"]
+
+
+def test_histogram_cdf_monotone(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    out = A.histogram_cdf(df, "value", bucket_size=10.0).orderBy("bucket").collect()
+    assert len(out) == 10
+    assert all(r["cnt"] == 10 for r in out)
+    cdfs = [r["cdf"] for r in out]
+    assert cdfs == sorted(cdfs) and cdfs[-1] == pytest.approx(1.0)
+
+
+def test_top_k_deterministic_ties(spark):
+    counts = spark.createDataFrame(
+        [("b", 5), ("a", 5), ("c", 9), ("d", 1)], "key string, cnt long"
+    )
+    got = [r["key"] for r in A.top_k(counts, k=3).orderBy("rank").collect()]
+    assert got == ["c", "a", "b"]  # ties broken by key asc
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(1, "a b b c")], "doc_id long, text string")
+    r = T.token_stats(df).collect()[0]
+    assert r["n_tokens"] == 4 and r["n_distinct_tokens"] == 3 and r["n_chars"] == 7
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist gut"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in T.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_stable_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["fp_hex"], r["fp64"]) for r in T.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8))
+    df = _emb_df(spark, vecs)
+    got = S.cosine_topk_bruteforce(df, df.filter(F.col("vec_id") < 2), k=3).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = list(np.argsort(-s)[:3])
+        mine = [r["nbr_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+        )]
+        assert mine == expect
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((50, 8))
+    df = _emb_df(spark, vecs)
+    b1 = {r["vec_id"]: r["bucket"] for r in S.hyperplane_buckets(df, dim=8).collect()}
+    b2 = {
+        r["vec_id"]: r["bucket"]
+        for r in S.hyperplane_buckets(df.repartition(7), dim=8).collect()
+    }
+    assert b1 == b2  # partitioning-independent
+
+
+def test_embedding_near_dup_finds_duplicate(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    vecs = [base, base + 1e-4 * rng.standard_normal(8), rng.standard_normal(8)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.embedding_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# substring (winnowing) pass
+# ---------------------------------------------------------------------------
+
+
+def test_substring_pass_finds_planted_blocks(spark):
+    corpus = generate_corpus(n_docs=120, seed=11, dup_fraction=0.2,
+                             substring_fraction=0.3)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    url_to_row = {u: i for i, u in enumerate(corpus.url)}
+    id_to_row = {
+        r["doc_id"]: url_to_row[r["url"]]
+        for r in docs.select("doc_id", "url").collect()
+    }
+    got_pairs = {
+        tuple(sorted((id_to_row[r["id1"]], id_to_row[r["id2"]])))
+        for r in substring_duplicates(docs, CFG).collect()
+    }
+    planted = {
+        tuple(sorted((a, b)))
+        for a, b, kind in corpus.truth_pairs
+        if kind == "substring"
+    }
+    assert planted, "fixture must plant substring pairs"
+    missing = planted - got_pairs
+    assert not missing, f"missed planted substring pairs: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    corpus = generate_corpus(n_docs=80, seed=13)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+
+    p1 = DedupPipeline(spark, str(tmp_path / "ckpt"), CFG)
+    r1 = p1.run(docs)
+    assert r1.stages_resumed == [] and set(r1.stages_run) == set(DedupPipeline.STAGES)
+    first = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in r1.clusters.collect()
+    )
+
+    # resume: everything reused, identical output
+    p2 = DedupPipeline(spark, str(tmp_path / "ckpt"), CFG)
+    r2 = p2.run(docs)
+    assert r2.stages_run == [] and set(r2.stages_resumed) == set(DedupPipeline.STAGES)
+    assert sorted((r["doc_id"], r["cluster_id"]) for r in r2.clusters.collect()) == first
+
+    # config change invalidates checkpoints
+    cfg2 = SketchConfig(n_hashes=64, bands=8, rows=8)
+    p3 = DedupPipeline(spark, str(tmp_path / "ckpt"), cfg2)
+    r3 = p3.run(docs)
+    assert set(r3.stages_run) == set(DedupPipeline.STAGES)
+
+    # lineage manifest recorded every commit
+    lin = p1.store.lineage()
+    assert lin.filter(F.col("status") == "ok").count() >= 2 * len(DedupPipeline.STAGES)
+    parts = p1.store.partition_lineage("signatures")
+    assert parts.agg(F.sum("rows")).collect()[0][0] == 80
