@@ -229,7 +229,42 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_binary_meta(spark, sf_dir):
+    from localitysensitivesketch_spark.sources.multimodal import binary_metadata
+
+    payloads = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(payloads).select("doc_id", "n_bytes", "format")
+
+
+def _q_frame_sample(spark, sf_dir):
+    from localitysensitivesketch_spark.sources.multimodal import frame_sample_offsets
+
+    media = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.floor(F.col("value") * 10).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_offsets(media)
+
+
 # --- non-SQL-expressible (seeded-hash sketches) → rows-only check ---
+
+
+def _q_substring_dup_pairs(spark, sf_dir):
+    from localitysensitivesketch_spark.operators.substring import substring_duplicates
+
+    cfg = SketchConfig(sa_min_len=24)  # testdata docs are 10-80 tokens
+    return substring_duplicates(_t(spark, sf_dir, "documents"), cfg)
+
+
+def _q_decode_features(spark, sf_dir):
+    from localitysensitivesketch_spark.sources.multimodal import decode_features
+
+    payloads = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_features(payloads, strict=False)
 
 
 def _q_minhash_band_candidates(spark, sf_dir):
@@ -281,6 +316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "knn_cosine_topk": _q_knn_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "binary_meta": _q_binary_meta,
+        "frame_sample": _q_frame_sample,
+        "substring_dup_pairs": _q_substring_dup_pairs,
+        "decode_features": _q_decode_features,
         "minhash_band_candidates": _q_minhash_band_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
@@ -534,4 +573,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "binary_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   CASE
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '89504E47') THEN 'png'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), 'FFD8FF') THEN 'jpeg'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '47494638') THEN 'gif'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '52494646') THEN 'riff'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '664C6143') THEN 'flac'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '1A45DFA3') THEN 'mkv/webm'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '00000018') THEN 'mp4'
+                     WHEN starts_with(upper(hex(encode(substr(text, 1, 4)))), '00000020') THEN 'mp4'
+                     ELSE 'unknown'
+                   END AS format
+            FROM documents
+        """,
+        "frame_sample": """
+            WITH m AS (
+              SELECT event_id AS doc_id,
+                     CAST(floor(value * 10) AS INT) AS duration_ms
+              FROM events
+            )
+            SELECT doc_id,
+                   CAST(unnest(range(0, least(duration_ms // 1000 + 1, 32))) AS INT) AS frame_idx,
+                   CAST(unnest(range(0, least(duration_ms // 1000 + 1, 32))) * 1000 AS BIGINT) AS offset_ms
+            FROM m
+        """,
     }

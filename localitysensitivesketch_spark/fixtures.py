@@ -74,8 +74,10 @@ class Corpus:
         ]
 
 
-def _seed_text(rng: np.random.Generator, vocab: list[str]) -> list[str]:
-    n = int(rng.integers(200, 2001))
+def _seed_text(
+    rng: np.random.Generator, vocab: list[str], lo: int = 200, hi: int = 2000
+) -> list[str]:
+    n = int(rng.integers(lo, hi + 1))
     idx = rng.integers(0, len(vocab), size=n)
     return [vocab[i] for i in idx]
 
@@ -101,7 +103,8 @@ def _edit(rng: np.random.Generator, vocab: list[str], toks: list[str],
 
 def generate_corpus(n_docs: int = 1000, seed: int = 42,
                     dup_fraction: float = 0.45,
-                    substring_fraction: float = 0.05) -> Corpus:
+                    substring_fraction: float = 0.05,
+                    min_tokens: int = 200, max_tokens: int = 2000) -> Corpus:
     """Deterministic corpus: ~dup_fraction of rows live in planted
     exact/near clusters; ~substring_fraction are substring-only dups;
     the rest are singletons."""
@@ -115,11 +118,12 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42,
 
     target_dup_rows = int(n_docs * dup_fraction)
     cluster_id = 0
+    n_dup_rows = 0
     # planted exact/near clusters
-    while sum(1 for k in kinds if k != "singleton") < target_dup_rows:
+    while n_dup_rows < target_dup_rows:
         size = int(zipf_sizes(rng, 1)[0])
         size = min(size, max(2, target_dup_rows // 4))
-        seed_toks = _seed_text(rng, vocab)
+        seed_toks = _seed_text(rng, vocab, min_tokens, max_tokens)
         members: list[int] = []
         for m in range(size):
             if len(texts) >= n_docs:
@@ -137,6 +141,7 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42,
                 kinds.append("near")
             members.append(row)
             truth_clusters[row] = cluster_id
+            n_dup_rows += 1
         for a in range(len(members)):
             for b in range(a + 1, len(members)):
                 ka, kb = kinds[members[a]], kinds[members[b]]
@@ -155,7 +160,7 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42,
         block = [vocab[j] for j in idx]
         r1, r2 = len(texts), len(texts) + 1
         for row in (r1, r2):
-            host = _seed_text(rng, vocab)
+            host = _seed_text(rng, vocab, min_tokens, max_tokens)
             pos = int(rng.integers(0, len(host)))
             texts.append(host[:pos] + block + host[pos:])
             kinds.append("substring")
@@ -167,7 +172,7 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42,
     # singletons fill the remainder
     while len(texts) < n_docs:
         row = len(texts)
-        texts.append(_seed_text(rng, vocab))
+        texts.append(_seed_text(rng, vocab, min_tokens, max_tokens))
         kinds.append("singleton")
         truth_clusters[row] = cluster_id
         cluster_id += 1
@@ -188,6 +193,62 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42,
     return Corpus(
         url=urls, warc_ts=warc_ts, html=htmls, text=text_strs, lang=langs,
         truth_pairs=truth_pairs, truth_clusters=truth_clusters,
+    )
+
+
+def generate_corpus_spark(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    n_parts: int = 64,
+    dup_fraction: float = 0.45,
+    substring_fraction: float = 0.05,
+    min_tokens: int = 200,
+    max_tokens: int = 2000,
+):
+    """Distributed deterministic corpus: each partition generates its slice
+    with an independent seeded rng (seed+part), so the whole corpus is
+    reproducible at any parallelism and generation scales with cores.
+    Planted duplicate clusters are partition-local (cluster truth is still
+    exact); urls embed the partition so doc ids never collide.
+
+    Returns a documents DataFrame in the input_hint shape + doc-level
+    ``kind`` ground-truth column.
+    """
+    import pandas as pd
+
+    per_part = [n_docs // n_parts] * n_parts
+    for i in range(n_docs - sum(per_part)):
+        per_part[i] += 1
+    parts_df = spark.createDataFrame(
+        [(i, per_part[i]) for i in range(n_parts)], "part int, n int"
+    ).repartition(n_parts, "part")
+
+    def gen(batches):
+        for pdf in batches:
+            for part, n in zip(pdf["part"], pdf["n"]):
+                if n <= 0:
+                    continue
+                c = generate_corpus(
+                    n_docs=int(n), seed=seed + int(part),
+                    dup_fraction=dup_fraction,
+                    substring_fraction=substring_fraction,
+                    min_tokens=min_tokens, max_tokens=max_tokens,
+                )
+                urls = [u.replace("https://", f"https://part{part}.") for u in c.url]
+                yield pd.DataFrame(
+                    {
+                        "url": urls,
+                        "warc_ts": c.warc_ts,
+                        "html": c.html,
+                        "text": c.text,
+                        "lang": c.lang,
+                    }
+                )
+
+    return parts_df.mapInPandas(
+        gen,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
     )
 
 

@@ -43,7 +43,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst")
@@ -59,10 +59,14 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
+        # duplicate clusters are near-cliques: ≥2 rounds are always needed,
+        # so the convergence-count job (one extra Spark job per round) only
+        # starts at round 3
+        if it >= 2:
+            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            if changed == 0:
+                break
 
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -43,13 +43,22 @@ from .candidates import pairs_by_key
 
 FINGERPRINT_SCHEMA = "doc_id long, pos int, fp long"
 
-WINNOW_W = 64  # winnowing window (w); L = sa_min_len - w + 1
+WINNOW_W = 64  # max winnowing window (w); L = sa_min_len - w + 1
+
+
+def _winnow_params(sa_min_len: int) -> tuple[int, int]:
+    """(L, w) with L + w − 1 = sa_min_len and L ≥ 2 — adaptive so small
+    ``sa_min_len`` configs stay valid (w shrinks, fingerprint density
+    rises)."""
+    w = min(WINNOW_W, max(2, sa_min_len // 4))
+    L = max(sa_min_len - w + 1, 2)
+    return L, w
 
 
 def _fingerprint_fn(cfg_json: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cfg = SketchConfig.from_json(cfg_json)
-        L = max(cfg.sa_min_len - WINNOW_W + 1, 2)
+        L, w = _winnow_params(cfg.sa_min_len)
         cache: dict[str, int] = {}
         for pdf in batches:
             ids, poss, fps = [], [], []
@@ -57,7 +66,7 @@ def _fingerprint_fn(cfg_json: str):
                 toks = tokenize(text, cfg.normalization)
                 th = H.hash_tokens(toks, cache)
                 wh = H.rolling_window_hashes(th, L)
-                sel = H.winnow(wh, WINNOW_W)
+                sel = H.winnow(wh, w)
                 if sel.size == 0:
                     continue
                 ids.append(np.full(sel.size, doc_id, dtype=np.int64))
@@ -104,7 +113,7 @@ def substring_pairs(
     Returns (pairs, skew_metrics).  pairs: id1 < id2, n_shared_fps,
     overlap_est.
     """
-    L = max(cfg.sa_min_len - WINNOW_W + 1, 2)
+    L, _ = _winnow_params(cfg.sa_min_len)
     fps = substring_fingerprints(documents, cfg, id_col, text_col)
 
     # same salted/capped machinery as the band join — reuse via pairs_by_key

@@ -92,10 +92,29 @@ class CheckpointStore:
         return meta.get("config_sha") == self.cfg_sha and meta.get("status") == "ok"
 
     def write(self, stage: str, df: DataFrame, wall_sec: float) -> DataFrame:
-        """Commit a stage: data + per-partition lineage + marker (last)."""
+        """Commit a stage: data + per-partition lineage + marker (last).
+
+        Writes into a staging dir first and swaps it in afterwards, so a
+        stage may be rewritten from a plan that READS its own previous
+        version (the incremental MERGE pattern) — the old files stay
+        readable until the new ones are complete.  Iceberg gives this for
+        free via snapshots; this is the parquet-store equivalent.
+        """
+        import shutil
+
         d = self._stage_dir(stage)
         data_path = os.path.join(d, "data.parquet")
-        df.write.mode("overwrite").parquet(data_path)
+        staging = os.path.join(d, f"data.parquet.staging-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(data_path):
+            old = data_path + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.replace(data_path, old)
+            os.replace(staging, data_path)
+            shutil.rmtree(old)
+        else:
+            os.replace(staging, data_path)
         out = self.spark.read.parquet(data_path)
         # per-partition progress rows (the reference's per-window metrics
         # lines, QueryLSSFingerFlowApps.java:243-245) — from the *written*

@@ -1,0 +1,158 @@
+"""Structured Streaming variant of the engine.
+
+Reference analogue: the Pulsar-wired streaming topology (SURVEY §0) —
+ingest publishes keyed batches (``Ingest/Pub4PCapStreamKVTable.java:
+511-575``), the sketch stage consumes and flushes a window every
+``NumberFlowsPerPeriod`` keys (``Sketching/Sub4SketchingKVStream.java:
+353-394``), queries run per window.  Spark-first mapping:
+
+* topic → file/parquet (or Kafka) ``readStream`` source
+* count-tumbling window → micro-batch (``foreachBatch``) or event-time
+  ``F.window`` + watermark for late data
+* sketch flush + serialize → per-batch append into the checkpointed
+  signature store (the batch id is the window id)
+* downstream queries → incremental candidate join of each new batch
+  against the accumulated store
+
+The batch pipeline stays the primary deliverable (north_rule); this module
+makes the same operators run incrementally without rewriting them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import SketchConfig
+from ..operators.candidates import pairs_by_key
+from ..operators.signatures import compute_signatures
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """S1/S4 analogue: a document stream from a parquet directory (swap for
+    Kafka in production; the transform graph is identical)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_signatures(
+    documents: DataFrame,
+    cfg: SketchConfig,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Signature stage as a streaming sink: docs → MinHash/SimHash rows
+    appended to the signature store.  ``mapInPandas`` streams unchanged —
+    one code path for batch and streaming (the engine's W7 'clone the
+    trained skeleton per topic' analogue is just reusing the same cfg)."""
+    sigs = compute_signatures(documents, cfg, id_col=id_col, text_col=text_col)
+    w = (
+        sigs.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def incremental_candidates(
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: SketchConfig,
+    store_root: str,
+    available_now: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """W1 window-flush analogue via ``foreachBatch``: every micro-batch
+
+    1. computes signatures for the batch's docs,
+    2. joins the batch's band keys against the accumulated store
+       (new-vs-old candidates) and within the batch itself (new-vs-new),
+    3. appends signatures to the store and candidate pairs to the output.
+
+    State lives in parquet dirs under ``store_root`` (sigs/, pairs/), so a
+    restart resumes from the stream checkpoint exactly like the reference's
+    deserialize-and-continue path (``LSSFingerprintAtomic.java:1405-1483``).
+    """
+    sig_path = os.path.join(store_root, "sigs")
+    pair_path = os.path.join(store_root, "pairs")
+    ckpt = os.path.join(store_root, "_stream_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = compute_signatures(
+            batch_df, cfg, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        new_keys = sigs.filter(F.col("n_shingles") > 0).select(
+            "doc_id", F.explode("band_keys").alias("key")
+        )
+        # new-vs-new within the batch (salted/capped machinery reused)
+        pairs, _ = pairs_by_key(new_keys, cfg)
+        # new-vs-old against the accumulated store
+        if os.path.exists(sig_path):
+            old = spark.read.parquet(sig_path)
+            old_keys = old.filter(F.col("n_shingles") > 0).select(
+                F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
+            )
+            cross = (
+                new_keys.join(old_keys, "key")
+                .filter(F.col("doc_id") != F.col("old_id"))
+                .select(
+                    F.least("doc_id", "old_id").alias("id1"),
+                    F.greatest("doc_id", "old_id").alias("id2"),
+                )
+                .distinct()
+            )
+            pairs = pairs.unionByName(cross).distinct()
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            pair_path
+        )
+        sigs.write.mode("append").parquet(sig_path)
+
+    w = (
+        documents.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "key",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """W1+W3 streaming analytics: per-(event-time window, key) counts with a
+    watermark bounding state — the event-time version of the reference's
+    count-tumbling window (late data dropped past the watermark instead of
+    the reference's implicit drop-on-reset)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col).alias("key"),
+            "cnt",
+        )
+    )

@@ -1,0 +1,171 @@
+"""Streaming variant, multimodal plumbing, incremental update tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.config import SketchConfig
+from localitysensitivesketch_spark.fixtures import corpus_to_spark, generate_corpus
+from localitysensitivesketch_spark.operators.candidates import band_candidates
+from localitysensitivesketch_spark.operators.signatures import (
+    compute_signatures,
+    with_doc_id,
+)
+from localitysensitivesketch_spark.plans.incremental import incremental_update
+from localitysensitivesketch_spark.plans.pipeline import DedupPipeline
+from localitysensitivesketch_spark.sources import multimodal as M
+from localitysensitivesketch_spark.streaming import stream as ST
+
+CFG = SketchConfig()
+
+
+def _write_docs(spark, tmp_path, n=60, seed=21, n_files=2):
+    corpus = generate_corpus(n_docs=n, seed=seed)
+    docs = with_doc_id(corpus_to_spark(spark, corpus))
+    path = str(tmp_path / "docs")
+    docs.repartition(n_files).write.mode("overwrite").parquet(path)
+    return path, docs
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_stream_signatures_match_batch(spark, tmp_path):
+    path, docs = _write_docs(spark, tmp_path)
+    stream = ST.read_document_stream(
+        spark, path,
+        schema="url string, warc_ts timestamp, html binary, text string, "
+               "lang string, doc_id long",
+        max_files_per_trigger=1,
+    )
+    q = ST.stream_signatures(
+        stream, CFG, str(tmp_path / "sigs"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "sigs"))
+    batch = compute_signatures(spark.read.parquet(path), CFG)
+    g = {r["doc_id"]: (tuple(r["minhash"]), r["simhash"]) for r in got.collect()}
+    b = {r["doc_id"]: (tuple(r["minhash"]), r["simhash"]) for r in batch.collect()}
+    assert g == b
+
+
+def test_incremental_candidates_stream_matches_batch(spark, tmp_path):
+    path, docs = _write_docs(spark, tmp_path, n=80, seed=22)
+    stream = ST.read_document_stream(
+        spark, path,
+        schema="url string, warc_ts timestamp, html binary, text string, "
+               "lang string, doc_id long",
+        max_files_per_trigger=1,
+    )
+    q = ST.incremental_candidates(
+        spark, stream, CFG, str(tmp_path / "store")
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "store/pairs"))
+    got_pairs = {(r["id1"], r["id2"]) for r in got.collect()}
+    batch_pairs, _ = band_candidates(
+        compute_signatures(spark.read.parquet(path), CFG), CFG
+    )
+    expect = {(r["id1"], r["id2"]) for r in batch_pairs.collect()}
+    assert got_pairs == expect
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    rows = [
+        ("2024-01-01 00:00:10", "a"),
+        ("2024-01-01 00:00:50", "a"),
+        ("2024-01-01 00:01:10", "a"),
+        ("2024-01-01 00:00:30", "b"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, key string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (str(r["window_start"]), r["key"]): r["cnt"]
+        for r in ST.windowed_event_counts(df, window="1 minute").collect()
+    }
+    assert out[("2024-01-01 00:00:00", "a")] == 2
+    assert out[("2024-01-01 00:01:00", "a")] == 1
+    assert out[("2024-01-01 00:00:00", "b")] == 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_binary_metadata_sniffs_formats(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 10),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 5),
+        (3, b"zzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.binary_metadata(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["n_bytes"] == 18
+    assert out[2]["format"] == "jpeg"
+    assert out[3]["format"] == "unknown"
+    assert out[1]["payload_crc32"] != out[2]["payload_crc32"]
+
+
+def test_decode_features_deterministic_fake(spark):
+    rows = [(1, b"\x89PNG1234" * 10), (2, b"\x89PNG1234" * 10), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.decode_features(df, strict=False).collect()}
+    assert out[1]["decode_ok"] and out[2]["decode_ok"] and not out[3]["decode_ok"]
+    assert out[1]["feature"] == out[2]["feature"]
+    assert len(out[1]["feature"]) == 16
+
+
+def test_decode_features_strict_raises(spark):
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        M.decode_features(df, strict=True).collect()
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(1, 3500), (2, 500)], "doc_id long, duration_ms int")
+    out = M.frame_sample_offsets(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["offset_ms"])
+    assert sorted(by_doc[1]) == [0, 1000, 2000, 3000]
+    assert sorted(by_doc[2]) == [0]
+
+
+# ---------------------------------------------------------------------------
+# incremental update
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_update_equals_full_run(spark, tmp_path):
+    corpus = generate_corpus(n_docs=100, seed=31)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    # split: first 60 rows "old", rest "new" (split by url hash parity-free
+    # deterministic order: use row_number over url)
+    urls = sorted(corpus.url)
+    old_urls = set(urls[:60])
+    old_docs = docs.filter(F.col("url").isin(*old_urls)).cache()
+    new_docs = docs.filter(~F.col("url").isin(*old_urls)).cache()
+
+    pipe = DedupPipeline(spark, str(tmp_path / "inc"), CFG)
+    pipe.run(old_docs)
+    out = incremental_update(pipe.store, docs, new_docs, CFG)
+    inc_clusters = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in out["clusters"].collect()
+    )
+
+    full = DedupPipeline(spark, str(tmp_path / "full"), CFG).run(docs)
+    full_clusters = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in full.clusters.collect()
+    )
+    assert inc_clusters == full_clusters
+
+    # store committed the merged state: a resume run reuses everything
+    resumed = DedupPipeline(spark, str(tmp_path / "inc"), CFG)
+    # signatures stage now covers all docs
+    assert resumed.store.read("signatures").count() == 100
