@@ -82,9 +82,15 @@ def main() -> int:
             bad.append(name)
     check("no-row-python-udfs", not bad, ", ".join(bad))
 
-    # 5. codegen in the JVM analytics path
-    p = plan_of(E.queries()["tpch_q1"](spark, sf_dir))
-    check("wholestage-codegen", "WholeStageCodegen" in p)
+    # 5. codegen in the JVM analytics path ("[codegen id : N]" markers only
+    # appear in the FINAL adaptive plan, so execute first)
+    q1 = E.queries()["tpch_q1"](spark, sf_dir)
+    q1.collect()
+    p = plan_of(q1)
+    check(
+        "wholestage-codegen",
+        "codegen id" in p or "WholeStageCodegen" in p,
+    )
 
     # 6. LSH band join: no cartesian products anywhere in the pipeline plan
     from localitysensitivesketch_spark.operators.candidates import band_candidates
