@@ -110,8 +110,12 @@ def minhash_lsh_dedup(
     clusters, cluster stats).  This is the engine spine (SURVEY §3.4)."""
     cfg = cfg or SketchConfig()
     sigs = compute_signatures(documents, cfg, id_col=id_col, text_col=text_col)
+    sigs = sigs.localCheckpoint(eager=False)
     candidates, skew_metrics = band_candidates(sigs, cfg)
-    verified = verify_pairs(candidates, documents, cfg, id_col=id_col, text_col=text_col)
+    verified = verify_pairs(
+        candidates, documents, cfg, id_col=id_col, text_col=text_col,
+        signatures=sigs,
+    )
     edges = duplicate_edges(verified, cfg)
     vertices = documents.select(F.col(id_col).cast("long").alias("doc_id"))
     clusters = connected_components(vertices, edges)

@@ -74,7 +74,8 @@ def incremental_update(
     candidates = nn_pairs.unionByName(no_pairs).distinct()
 
     verified = verify_pairs(
-        candidates, all_documents, cfg, id_col=id_col, text_col=text_col
+        candidates, all_documents, cfg, id_col=id_col, text_col=text_col,
+        signatures=old_sigs.unionByName(new_sigs),
     )
     new_edges = duplicate_edges(verified, cfg)
     merged_edges = store.read("edges").unionByName(new_edges).distinct()

@@ -245,7 +245,10 @@ class DedupPipeline:
         )
         verified = self._stage(
             "verified",
-            lambda: verify_pairs(cands, documents, cfg, id_col=id_col, text_col=text_col),
+            lambda: verify_pairs(
+                cands, documents, cfg, id_col=id_col, text_col=text_col,
+                signatures=sigs,
+            ),
             resume, ran, reused,
         )
         edges = self._stage(
