@@ -229,6 +229,14 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_sum_per_key_user(spark, sf_dir):
+    return A.sum_per_key(_t(spark, sf_dir, "events"), "user_id", "value")
+
+
+def _q_dedup_exact_keep(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
 def _q_binary_meta(spark, sf_dir):
     from localitysensitivesketch_spark.sources.multimodal import binary_metadata
 
@@ -267,6 +275,14 @@ def _q_decode_features(spark, sf_dir):
     return decode_features(payloads, strict=False)
 
 
+def _q_value_cluster_stats(spark, sf_dir):
+    from localitysensitivesketch_spark.operators import valuecluster as V
+
+    ev = _t(spark, sf_dir, "events")
+    centers = V.kmeans_pp_train(ev, "value", k=8, seed=42)
+    return V.value_cluster_stats(ev, "value", centers)
+
+
 def _q_minhash_band_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     from localitysensitivesketch_spark.operators.candidates import band_candidates
@@ -293,6 +309,9 @@ def _q_ann_topk_lsh(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "sum_per_key_user": _q_sum_per_key_user,
+        "value_cluster_stats": _q_value_cluster_stats,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "text_fingerprint": _q_text_fingerprint,
         "token_stats": _q_token_stats,
@@ -445,6 +464,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, count(*) AS group_size,
                    min(doc_id) AS canonical_doc_id
             FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+        """,
+        "dedup_exact_keep": """
+            SELECT * FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "sum_per_key_user": """
+            SELECT user_id AS key, round(sum(value), 6) AS total
+            FROM events GROUP BY user_id
         """,
         "dedup_rate_by_source": """
             SELECT source, count(*) AS n_docs,

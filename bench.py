@@ -75,6 +75,28 @@ def main() -> None:
     pipeline_sec = timings["dedup_cluster_stats"]
     docs_per_sec = round(n_docs / pipeline_sec, 1) if pipeline_sec else None
 
+    # recorded two-parallelism scaling evidence (tools/scaling_bench.py on a
+    # 400k-doc fixture corpus; see BENCH/BASELINE.md for methodology)
+    scaling = None
+    evidence = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_4v16.json")
+    if os.path.exists(evidence):
+        with open(evidence) as f:
+            ev = json.load(f)
+        scaling = {
+            "levels": {
+                c: {
+                    "docs_per_sec": ev["levels"][c]["docs_per_sec"],
+                    "sig_docs_per_sec": ev["levels"][c]["sig_docs_per_sec"],
+                }
+                for c in ev["levels"]
+            },
+            "signature_scaling_efficiency": ev["signature_scaling_efficiency"],
+            "pipeline_scaling_efficiency": ev["pipeline_scaling_efficiency"],
+            "n_docs": ev["levels"][next(iter(ev["levels"]))]["n_docs"],
+            "see": "BENCH/BASELINE.md",
+        }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,6 +109,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "docs_per_sec_minhash_lsh": docs_per_sec,
                 "cpus": cpus,
+                "scaling_evidence": scaling,
                 "config": json.loads(cfg.to_json()),
             }
         )

@@ -1,0 +1,118 @@
+"""Value-space clustering: k-means++ centers + nearest-center assignment.
+
+This is the reference's literal core (A11/A12): the LSS sketch partitions
+keys into ``c`` clusters by VALUE similarity, trained offline with
+k-means++ (``Sketching/LSSFingerprintAtomic.java:436-468``, calling the
+external ``ECS.ClusterStatic.KPPCluster``) and assigns each incoming key to
+the nearest center (``groupInputKV``, ``:474-498``: ``argmin_i
+|center_i − v|``).  Spark-first split:
+
+* **train** — driver-side numpy k-means++ on a bounded sample (centers are
+  ``c`` floats — broadcastable by construction, exactly like the
+  reference's 8-float center array, ``LogicController.java:83``);
+* **assign** — pure JVM expression: ``array_position(array_min(dists))``
+  over a literal center array, inside whole-stage codegen.  No UDF, no
+  shuffle; the reference's per-key loop becomes a columnar argmin.
+
+Proportional capacity allocation (A13, ``LSSFingerprintAtomic.java:
+173-300``) is reproduced in :func:`proportional_allocation`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_pp_train(
+    df: DataFrame,
+    value_col: str,
+    k: int = 8,
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    n_iter: int = 20,
+) -> np.ndarray:
+    """k-means++ init + Lloyd iterations on a driver-side sample (1-D).
+
+    Mirrors ``initClusterCenters`` (``LSSFingerprintAtomic.java:436-468``):
+    train once on a trace sample, reuse the centers for every window.
+    Returns sorted float64 centers (sorted ⇒ deterministic cluster ids).
+    """
+    total = df.count()
+    frac = min(1.0, sample_cap / max(total, 1))
+    sample = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .dropna()
+        .sample(fraction=frac, seed=seed)
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    if sample.size == 0:
+        return np.zeros(k)
+    rng = np.random.default_rng(seed)
+    k = min(k, np.unique(sample).size)
+    # k-means++ seeding
+    centers = [sample[rng.integers(0, sample.size)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.abs(sample[:, None] - np.array(centers)[None, :]) ** 2, axis=1
+        )
+        tot = d2.sum()
+        if tot == 0:
+            centers.append(sample[rng.integers(0, sample.size)])
+            continue
+        centers.append(sample[rng.choice(sample.size, p=d2 / tot)])
+    c = np.array(centers, dtype=np.float64)
+    # Lloyd
+    for _ in range(n_iter):
+        assign = np.argmin(np.abs(sample[:, None] - c[None, :]), axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = sample[m].mean()
+    return np.sort(c)
+
+
+def assign_nearest_center(
+    df: DataFrame, value_col: str, centers: np.ndarray, out_col: str = "value_cluster"
+) -> DataFrame:
+    """A12 ``groupInputKV`` analogue: cluster id = argmin over |center − v|,
+    as a pure codegen'd expression (0-indexed; ties → lowest id, matching
+    the reference's first-match loop)."""
+    v = F.col(value_col).cast("double")
+    dists = F.array(*[F.abs(v - F.lit(float(cc))) for cc in centers])
+    idx = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    return df.withColumn(out_col, idx)
+
+
+def proportional_allocation(
+    weights: np.ndarray, total_buckets: int, choice: int = 3
+) -> np.ndarray:
+    """A13 (``LSSFingerprintAtomic.java:173-300``): split ``total_buckets``
+    across clusters ∝ a per-cluster weight (the reference's choices mix
+    entropy/center/density; callers pass the composed weight), normalized
+    with remainder capping so the sizes sum exactly to the total."""
+    w = np.asarray(weights, dtype=np.float64)
+    if w.sum() <= 0:
+        w = np.ones_like(w)
+    raw = w / w.sum() * total_buckets
+    sizes = np.floor(raw).astype(np.int64)
+    rem = total_buckets - sizes.sum()
+    order = np.argsort(-(raw - sizes))  # largest fractional parts first
+    sizes[order[: int(rem)]] += 1
+    return sizes
+
+
+def value_cluster_stats(
+    df: DataFrame, value_col: str, centers: np.ndarray
+) -> DataFrame:
+    """Per-cluster (count, sum, avg) — the (counter, sum) cell + avg
+    estimator (A3/A4, ``LSSEntryFinger.java:100-117,70-80``) at cluster
+    granularity."""
+    assigned = assign_nearest_center(df, value_col, centers)
+    return assigned.groupBy("value_cluster").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col(value_col).cast("double")), 4).alias("total"),
+        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("avg_estimate"),
+    )
