@@ -169,3 +169,39 @@ def test_incremental_update_equals_full_run(spark, tmp_path):
     resumed = DedupPipeline(spark, str(tmp_path / "inc"), CFG)
     # signatures stage now covers all docs
     assert resumed.store.read("signatures").count() == 100
+
+
+# ---------------------------------------------------------------------------
+# binary KV record source (reference wire format)
+# ---------------------------------------------------------------------------
+
+
+def test_binary_kv_records_roundtrip(spark, tmp_path):
+    from localitysensitivesketch_spark.sources.binary_records import (
+        kv_records_to_counts,
+        read_kv_records,
+        write_kv_records,
+    )
+
+    recs = [
+        (b"\x0a\x00\x00\x01", 3),
+        (b"\x0a\x00\x00\x02", -7),          # negative int32 survives
+        (b"\x0a\x00\x00\x01", 2_000_000_000),  # large int32
+    ]
+    p = tmp_path / "trace.dat"
+    write_kv_records(str(p), recs, key_len=4)
+    # truncated tail byte must be ignored
+    with open(p, "ab") as f:
+        f.write(b"\xff")
+    out = read_kv_records(spark, str(p), key_len=4).collect()
+    assert len(out) == 3
+    got = [(bytes(r["key"]), r["count"]) for r in sorted(out, key=lambda r: r["record_idx"])]
+    assert got == recs
+    counts = {
+        bytes(r["key"]): r["cnt"]
+        for r in kv_records_to_counts(
+            read_kv_records(spark, str(p), key_len=4)
+        ).collect()
+    }
+    assert counts[b"\x0a\x00\x00\x01"] == 3 + 2_000_000_000
+    assert counts[b"\x0a\x00\x00\x02"] == -7
