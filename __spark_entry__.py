@@ -301,6 +301,19 @@ def _q_dedup_cluster_stats(spark, sf_dir):
     return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), CFG)["cluster_stats"]
 
 
+def _q_sketch_accuracy(spark, sf_dir):
+    """Reference-style online accuracy: MinHash estimate vs exact shadow
+    (QueryLSSFingerFlowApps.java:333-459 analogue)."""
+    from localitysensitivesketch_spark.operators.analytics import (
+        sketch_accuracy_report,
+    )
+
+    out = D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), CFG)
+    return sketch_accuracy_report(
+        out["verified"], out["signatures"], CFG.jaccard_threshold
+    )
+
+
 def _q_ann_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
@@ -342,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_candidates": _q_minhash_band_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "sketch_accuracy": _q_sketch_accuracy,
         "ann_topk_lsh": _q_ann_topk_lsh,
     }
 

@@ -185,6 +185,68 @@ def f1_score(estimated: DataFrame, truth: DataFrame, key_col: str = "key") -> Da
     )
 
 
+def minhash_estimate_for_pairs(
+    pairs: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """Estimated Jaccard per pair = fraction of agreeing MinHash slots —
+    the sketch-query path (``LSSFingerprintAtomic.java:697-767``: read the
+    sketch's answer for a key) applied to pairs.  JVM higher-order array
+    ops; no Python."""
+    s1 = signatures.select(F.col("doc_id").alias("id1"), F.col("minhash").alias("m1"))
+    s2 = signatures.select(F.col("doc_id").alias("id2"), F.col("minhash").alias("m2"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("m1", "m2", lambda x, y: x == y), lambda b: b
+        )
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", agree / F.size("m1"))
+        .drop("m1", "m2")
+    )
+
+
+def sketch_accuracy_report(
+    verified: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """The reference's per-window accuracy suite
+    (``QueryLSSFingerFlowApps.java:333-459``: relative-error distribution of
+    sketch estimate vs exact shadow map + threshold-detection F1), grafted:
+    MinHash-estimated Jaccard vs exactly-verified Jaccard per candidate
+    pair, plus F1 of est≥threshold against exact≥threshold."""
+    est = minhash_estimate_for_pairs(
+        verified.select("id1", "id2", "jaccard"), signatures
+    ).filter(F.col("jaccard") > 0)
+    err = est.withColumn(
+        "rel_err",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")) / F.col("jaccard"),
+    )
+    stats = err.agg(
+        F.count("*").alias("n_pairs"),
+        _r6(F.mean("rel_err")).alias("mean_err"),
+        _r6(F.expr("percentile(rel_err, 0.5)")).alias("p50_err"),
+        _r6(F.expr("percentile(rel_err, 0.9)")).alias("p90_err"),
+        _r6(F.expr("percentile(rel_err, 0.99)")).alias("p99_err"),
+        _r6(F.max("rel_err")).alias("max_err"),
+    )
+    hh_est = est.filter(F.col("est_jaccard") >= threshold).select("id1", "id2")
+    hh_true = est.filter(F.col("jaccard") >= threshold).select("id1", "id2")
+    inter = hh_est.join(hh_true, ["id1", "id2"], "inner").count()
+    ne, nt = hh_est.count(), hh_true.count()
+    precision = inter / ne if ne else 1.0
+    recall = inter / nt if nt else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return stats.select(
+        "*",
+        F.lit(round(precision, 6)).alias("detect_precision"),
+        F.lit(round(recall, 6)).alias("detect_recall"),
+        F.lit(round(f1, 6)).alias("detect_f1"),
+    )
+
+
 def tumbling_window_counts(
     df: DataFrame, ts_col: str, key_col: str, duration: str = "1 day"
 ) -> DataFrame:

@@ -77,15 +77,27 @@ def ngram_jaccard_pairs(
             "toks"
         ),
     )
+    base = base.withColumn("n", F.size("toks"))
     a = base.select(
-        F.col("doc_id").alias("id1"), F.col("toks").alias("t1"), "blk"
+        F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
+        F.col("n").alias("n1"), "blk",
     )
     b = base.select(
-        F.col("doc_id").alias("id2"), F.col("toks").alias("t2"), "blk"
+        F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
+        F.col("n").alias("n2"), "blk",
     )
+    # size-ratio prune in the join condition: J(A,B) <= min(|A|,|B|) /
+    # max(|A|,|B|) over distinct token sets, so pairs failing the ratio can
+    # never reach the threshold -- semantics identical, the expensive
+    # array_intersect runs only on survivors.
+    t = float(threshold)
     return (
         a.join(b, "blk")
-        .filter(F.col("id1") < F.col("id2"))
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("n1") >= F.col("n2") * t)
+            & (F.col("n2") >= F.col("n1") * t)
+        )
         .select(
             "id1",
             "id2",

@@ -219,3 +219,27 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert lin.filter(F.col("status") == "ok").count() >= 2 * len(DedupPipeline.STAGES)
     parts = p1.store.partition_lineage("signatures")
     assert parts.agg(F.sum("rows")).collect()[0][0] == 80
+
+
+def test_sketch_accuracy_report(spark):
+    """MinHash estimate vs exact Jaccard — the reference's online accuracy
+    suite (est within sampling error; detection F1 near 1 at the pinned
+    config)."""
+    from localitysensitivesketch_spark.operators.candidates import band_candidates
+    from localitysensitivesketch_spark.operators.signatures import compute_signatures
+    from localitysensitivesketch_spark.operators.verify import verify_pairs
+
+    corpus = generate_corpus(n_docs=150, seed=17)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    sigs = compute_signatures(docs, CFG).localCheckpoint(eager=True)
+    cands, _ = band_candidates(sigs, CFG)
+    verified = verify_pairs(cands, docs, CFG, signatures=sigs)
+    r = A.sketch_accuracy_report(verified, sigs, CFG.jaccard_threshold).collect()[0]
+    assert r["n_pairs"] > 0
+    assert r["p50_err"] <= 0.12          # 128 hashes: median rel err small
+    assert r["detect_f1"] >= 0.9
+    est = A.minhash_estimate_for_pairs(
+        verified.select("id1", "id2", "jaccard"), sigs
+    ).collect()
+    for row in est:
+        assert abs(row["est_jaccard"] - row["jaccard"]) <= 0.25  # 4.5σ-ish
