@@ -301,6 +301,17 @@ def _q_dedup_cluster_stats(spark, sf_dir):
     return D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), CFG)["cluster_stats"]
 
 
+def _q_cluster_churn(spark, sf_dir):
+    """Cluster churn between snapshots: the 'en' subset vs the full corpus
+    (W3 heavy change at cluster granularity)."""
+    from localitysensitivesketch_spark.operators.analytics import cluster_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    snap_a = D.minhash_lsh_dedup(docs.filter(F.col("lang") == "en"), CFG)
+    snap_b = D.minhash_lsh_dedup(docs, CFG)
+    return cluster_churn(snap_a["cluster_stats"], snap_b["cluster_stats"])
+
+
 def _q_sketch_accuracy(spark, sf_dir):
     """Reference-style online accuracy: MinHash estimate vs exact shadow
     (QueryLSSFingerFlowApps.java:333-459 analogue)."""
@@ -356,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "sketch_accuracy": _q_sketch_accuracy,
+        "cluster_churn": _q_cluster_churn,
         "ann_topk_lsh": _q_ann_topk_lsh,
     }
 

@@ -185,6 +185,34 @@ def f1_score(estimated: DataFrame, truth: DataFrame, key_col: str = "key") -> Da
     )
 
 
+def cluster_churn(
+    stats_a: DataFrame, stats_b: DataFrame, threshold: int = 0
+) -> DataFrame:
+    """W3 heavy change at cluster granularity (§2.9 "cluster churn between
+    snapshots"): compare two snapshots' cluster-stats tables
+    (cluster_id, size) — labels are stable across runs because cluster_id
+    is the min member doc_id.  Emits clusters whose size changed by more
+    than ``threshold``, tagged new / gone / grown / shrunk."""
+    a = stats_a.select(F.col("cluster_id"), F.col("size").alias("size_a"))
+    b = stats_b.select(F.col("cluster_id"), F.col("size").alias("size_b"))
+    joined = a.join(b, "cluster_id", "full_outer").select(
+        "cluster_id",
+        F.coalesce("size_a", F.lit(0)).cast("long").alias("size_a"),
+        F.coalesce("size_b", F.lit(0)).cast("long").alias("size_b"),
+    )
+    return (
+        joined.withColumn("delta", F.abs(F.col("size_b") - F.col("size_a")))
+        .filter(F.col("delta") > threshold)
+        .withColumn(
+            "status",
+            F.when(F.col("size_a") == 0, "new")
+            .when(F.col("size_b") == 0, "gone")
+            .when(F.col("size_b") > F.col("size_a"), "grown")
+            .otherwise("shrunk"),
+        )
+    )
+
+
 def minhash_estimate_for_pairs(
     pairs: DataFrame, signatures: DataFrame
 ) -> DataFrame:

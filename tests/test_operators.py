@@ -243,3 +243,17 @@ def test_sketch_accuracy_report(spark):
     ).collect()
     for row in est:
         assert abs(row["est_jaccard"] - row["jaccard"]) <= 0.25  # 4.5σ-ish
+
+
+def test_cluster_churn_between_snapshots(spark):
+    a = spark.createDataFrame(
+        [(1, 5), (10, 3), (20, 2)], "cluster_id long, size long"
+    )
+    b = spark.createDataFrame(
+        [(1, 8), (10, 3), (30, 4)], "cluster_id long, size long"
+    )
+    out = {r["cluster_id"]: r for r in A.cluster_churn(a, b).collect()}
+    assert out[1]["status"] == "grown" and out[1]["delta"] == 3
+    assert out[20]["status"] == "gone" and out[20]["size_b"] == 0
+    assert out[30]["status"] == "new" and out[30]["delta"] == 4
+    assert 10 not in out  # unchanged cluster filtered
