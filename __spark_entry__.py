@@ -31,7 +31,19 @@ CFG = SketchConfig()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tune(spark: SparkSession) -> None:
+    """Per-job runtime conf (safe to set on any session): small-SF queries
+    drown in 200-partition shuffles; AQE coalesces when enabled."""
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # conf may be restricted; queries remain correct regardless
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -35,6 +35,15 @@ def _vocab(rng: np.random.Generator) -> list[str]:
     ]
 
 
+def weibull_lengths(rng: np.random.Generator, n: int, shape: float = 1.5,
+                    scale: float = 400.0, lo: int = 10, hi: int = 20_000) -> np.ndarray:
+    """Weibull-distributed document lengths (tokens) — the reference ships a
+    Weibull sampler for synthetic value traces (``util/async/Weibull.java:
+    68-97``); web-page lengths are likewise heavy-tailed."""
+    raw = scale * rng.weibull(shape, size=n)
+    return np.clip(raw.astype(np.int64), lo, hi)
+
+
 def zipf_sizes(rng: np.random.Generator, n_clusters: int, skew: float = 1.1,
                max_size: int = 64) -> np.ndarray:
     """Zipf-distributed cluster sizes (≥2), echoing ZipfGenerator.java:11-42:

@@ -257,3 +257,14 @@ def test_cluster_churn_between_snapshots(spark):
     assert out[20]["status"] == "gone" and out[20]["size_b"] == 0
     assert out[30]["status"] == "new" and out[30]["delta"] == 4
     assert 10 not in out  # unchanged cluster filtered
+
+
+def test_weibull_lengths_deterministic_and_bounded():
+    from localitysensitivesketch_spark.fixtures import weibull_lengths
+    rng1 = np.random.default_rng(5)
+    rng2 = np.random.default_rng(5)
+    a = weibull_lengths(rng1, 1000)
+    b = weibull_lengths(rng2, 1000)
+    assert (a == b).all()
+    assert a.min() >= 10 and a.max() <= 20_000
+    assert 200 < a.mean() < 600  # scale=400, shape=1.5 -> mean ~361
