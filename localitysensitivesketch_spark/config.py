@@ -26,9 +26,14 @@ class SketchConfig:
 
     # --- MinHash (reference seeded xxHash64 family,
     #     Sketching/LSSFingerprintAtomic.java:148-151,554-572) ---
+    # bands/rows sized so detection at the verification threshold is
+    # near-certain: P(≥1 band | J=0.707) = 1-(1-J⁴)³² ≈ 0.9999 (at 16×8 the
+    # S-curve midpoint sits AT the threshold → only ~63% there, measured
+    # recall 0.9875 at 3k docs).  Verify is exact, so the extra low-J
+    # candidates cost throughput, never precision.
     n_hashes: int = 128
-    bands: int = 16
-    rows: int = 8                    # bands * rows == n_hashes
+    bands: int = 32
+    rows: int = 4                    # bands * rows == n_hashes
 
     # --- SimHash (reference fingerprint projection,
     #     LSSFingerprintAtomic.java:382-414, FingerLen=16 → ours 64-bit) ---

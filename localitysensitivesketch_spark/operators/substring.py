@@ -153,6 +153,109 @@ def substring_pairs(
     return pairs, metrics
 
 
+def suffix_array(seq: np.ndarray) -> np.ndarray:
+    """Suffix array over an integer sequence (prefix-doubling, O(n log² n),
+    pure numpy — no external SA library in this environment).  Returned
+    order: indices of suffixes in lexicographic order."""
+    n = len(seq)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.unique(seq, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        pair = np.stack([rank[order], second[order]], axis=1)
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.any(pair[1:] != pair[:-1], axis=1)
+        new_rank[order] = np.concatenate([[0], np.cumsum(changed)])
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def longest_common_run(t1: np.ndarray, t2: np.ndarray) -> int:
+    """Exact longest common substring (in tokens) of two hashed token
+    sequences, via the generalized-suffix-array + LCP walk: concatenate
+    with a unique separator, build the SA, scan adjacent suffixes from
+    different documents.  O((n1+n2) log²) — the per-pair refinement of the
+    winnowing detector's lower bound."""
+    n1 = len(t1)
+    if n1 == 0 or len(t2) == 0:
+        return 0
+    sep = np.uint64(0xFFFFFFFFFFFFFFFF)  # never produced by splitmix input
+    seq = np.concatenate([t1, [sep], t2])
+    sa = suffix_array(seq)
+    # LCP of adjacent SA entries via Kasai
+    n = len(seq)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    best = 0
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r == 0:
+            h = 0
+            continue
+        j = sa[r - 1]
+        while i + h < n and j + h < n and seq[i + h] == seq[j + h]:
+            h += 1
+        # adjacent suffixes from different sides of the separator
+        if (i < n1) != (j < n1):
+            best = max(best, h)
+        if h:
+            h -= 1
+    return best
+
+
+_REFINE_SCHEMA = "id1 long, id2 long, overlap_exact long"
+
+
+def refine_overlap_exact(
+    pairs: DataFrame,
+    documents: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SURVEY §7.8's per-cluster suffix-array pass: for each detected pair,
+    the EXACT longest shared token run via a generalized suffix array
+    (Arrow-batched; texts attached like the verify stage)."""
+    d1 = documents.select(
+        F.col(id_col).cast("long").alias("id1"), F.col(text_col).alias("text1")
+    )
+    d2 = documents.select(
+        F.col(id_col).cast("long").alias("id2"), F.col(text_col).alias("text2")
+    )
+    attached = pairs.select("id1", "id2").join(d1, "id1").join(d2, "id2")
+
+    cfg_json = cfg.to_json()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = SketchConfig.from_json(cfg_json)
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, (x1, x2) in enumerate(zip(pdf["text1"], pdf["text2"])):
+                h1 = H.hash_tokens(tokenize(x1, c.normalization), cache)
+                h2 = H.hash_tokens(tokenize(x2, c.normalization), cache)
+                out[i] = longest_common_run(h1, h2)
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].to_numpy(),
+                    "id2": pdf["id2"].to_numpy(),
+                    "overlap_exact": out,
+                }
+            )
+
+    return attached.mapInPandas(fn, _REFINE_SCHEMA)
+
+
 def substring_duplicates(
     documents: DataFrame,
     cfg: SketchConfig,

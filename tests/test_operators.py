@@ -268,3 +268,21 @@ def test_weibull_lengths_deterministic_and_bounded():
     assert (a == b).all()
     assert a.min() >= 10 and a.max() <= 20_000
     assert 200 < a.mean() < 600  # scale=400, shape=1.5 -> mean ~361
+
+
+def test_refine_overlap_exact_matches_planted_block(spark):
+    """Winnowing detects; the suffix-array refinement reports the EXACT
+    shared run — must be >= the planted block length (256 tokens)."""
+    from localitysensitivesketch_spark.operators.substring import (
+        refine_overlap_exact,
+        substring_duplicates,
+    )
+
+    corpus = generate_corpus(n_docs=60, seed=19, dup_fraction=0.1,
+                             substring_fraction=0.4)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    pairs = substring_duplicates(docs, CFG)
+    refined = refine_overlap_exact(pairs, docs, CFG).collect()
+    assert refined, "planted substring pairs must be detected"
+    for r in refined:
+        assert r["overlap_exact"] >= 256, r

@@ -136,3 +136,49 @@ def test_cluster_stats_and_determinism(spark, corpus, docs_df):
     got1 = sorted((r.doc_id, r.cluster_id) for r in labels.collect())
     got2 = sorted((r.doc_id, r.cluster_id) for r in labels2.collect())
     assert got1 == got2
+
+
+def test_recall_midscale_3000_docs(spark):
+    """Recall >= 0.99 on threshold-confirmed planted pairs at 3k docs —
+    the 400-doc oracle test's claim held at 7.5x the corpus (the full
+    O(n^2) oracle is infeasible here; ground truth = planted pairs whose
+    EXACT shingle Jaccard clears the pinned threshold)."""
+    import numpy as np
+
+    from localitysensitivesketch_spark.functions import hashing as H
+    from localitysensitivesketch_spark.functions.text import tokenize
+
+    corpus = generate_corpus(n_docs=3000, seed=77)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    url2id = {r["url"]: r["doc_id"] for r in docs.select("url", "doc_id").collect()}
+
+    cache: dict = {}
+    shingle_cache: dict = {}
+
+    def shset(row):
+        s = shingle_cache.get(row)
+        if s is None:
+            s = H.shingle_hashes(
+                H.hash_tokens(tokenize(corpus.text[row], CFG.normalization), cache),
+                CFG.shingle_k,
+            )
+            shingle_cache[row] = s
+        return s
+
+    truth = set()
+    for a, b, kind in corpus.truth_pairs:
+        if kind == "substring":
+            continue
+        s1, s2 = shset(a), shset(b)
+        inter = np.intersect1d(s1, s2, assume_unique=True).size
+        union = s1.size + s2.size - inter
+        if union and inter / union >= CFG.jaccard_threshold:
+            truth.add(tuple(sorted((url2id[corpus.url[a]], url2id[corpus.url[b]]))))
+    assert len(truth) > 500, f"need substantial planted truth, got {len(truth)}"
+
+    sigs = compute_signatures(docs, CFG).localCheckpoint(eager=True)
+    cands, _ = band_candidates(sigs, CFG)
+    edges = duplicate_edges(verify_pairs(cands, docs, CFG, signatures=sigs), CFG)
+    got = {(r["id1"], r["id2"]) for r in edges.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"midscale recall {recall:.4f} over {len(truth)} pairs"
