@@ -126,7 +126,7 @@ def minhash_lsh_dedup(
     candidates, skew_metrics = band_candidates(sigs, cfg)
     verified = verify_pairs(
         candidates, documents, cfg, id_col=id_col, text_col=text_col,
-        signatures=sigs,
+        signatures=sigs, min_jaccard=cfg.jaccard_threshold,
     )
     edges = duplicate_edges(verified, cfg)
     vertices = documents.select(F.col(id_col).cast("long").alias("doc_id"))

@@ -106,8 +106,14 @@ def verify_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     signatures: DataFrame | None = None,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """candidates(id1, id2) → verified(id1, id2, jaccard, exact_match, ...).
+
+    With ``signatures`` + ``min_jaccard``, candidates are pre-pruned by the
+    shingle-count ratio bound J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|): pairs that
+    cannot reach ``min_jaccard`` are dropped BEFORE any text is shuffled —
+    lossless for downstream `duplicate_edges(threshold=min_jaccard)`.
 
     Two-tier execution — the wide ``text`` payload moves ONLY for pairs
     that actually need a shingle recompute:
@@ -124,6 +130,19 @@ def verify_pairs(
     text bytes from the shuffle + Arrow path.
     """
     pairs = candidates.select("id1", "id2")
+    if signatures is not None and min_jaccard is not None:
+        ns = signatures.select("doc_id", F.col("n_shingles").cast("double").alias("ns"))
+        t = float(min_jaccard)
+        pairs = (
+            pairs.join(
+                ns.select(F.col("doc_id").alias("id1"), F.col("ns").alias("ns1")), "id1"
+            )
+            .join(
+                ns.select(F.col("doc_id").alias("id2"), F.col("ns").alias("ns2")), "id2"
+            )
+            .where((F.col("ns1") >= F.col("ns2") * t) & (F.col("ns2") >= F.col("ns1") * t))
+            .select("id1", "id2")
+        )
     docs = documents.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),

@@ -76,6 +76,7 @@ def incremental_update(
     verified = verify_pairs(
         candidates, all_documents, cfg, id_col=id_col, text_col=text_col,
         signatures=old_sigs.unionByName(new_sigs),
+        min_jaccard=cfg.jaccard_threshold,
     )
     new_edges = duplicate_edges(verified, cfg)
     merged_edges = store.read("edges").unionByName(new_edges).distinct()

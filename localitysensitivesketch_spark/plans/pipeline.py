@@ -247,7 +247,7 @@ class DedupPipeline:
             "verified",
             lambda: verify_pairs(
                 cands, documents, cfg, id_col=id_col, text_col=text_col,
-                signatures=sigs,
+                signatures=sigs, min_jaccard=cfg.jaccard_threshold,
             ),
             resume, ran, reused,
         )

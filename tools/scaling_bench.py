@@ -86,7 +86,8 @@ def run_level(cpus: int, data: str) -> dict:
 
     t1 = time.time()
     cands, _ = band_candidates(sigs, cfg)
-    verified = verify_pairs(cands, docs, cfg, signatures=sigs)
+    verified = verify_pairs(cands, docs, cfg, signatures=sigs,
+                            min_jaccard=cfg.jaccard_threshold)
     edges = duplicate_edges(verified, cfg)
     edges = edges.localCheckpoint(eager=True)
     phases["candidates_verify"] = time.time() - t1
