@@ -279,12 +279,23 @@ def _q_substring_dup_pairs(spark, sf_dir):
 
 
 def _q_decode_features(spark, sf_dir):
+    """Exploded (doc_id, dim_idx, value) so the driver can canonicalize —
+    the fake-decode feature is a deterministic byte slice, so the exploded
+    representation has an exact DuckDB oracle (hex-slice arithmetic)."""
     from localitysensitivesketch_spark.sources.multimodal import decode_features
 
     payloads = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return decode_features(payloads, strict=False)
+    feats = decode_features(payloads, strict=False)
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim_idx", "v"), "decode_ok"
+    ).select(
+        "doc_id",
+        "dim_idx",
+        F.round(F.col("v").cast("double"), 6).alias("value"),
+        "decode_ok",
+    )
 
 
 def _q_value_cluster_stats(spark, sf_dir):
@@ -315,13 +326,22 @@ def _q_dedup_cluster_stats(spark, sf_dir):
 
 def _q_cluster_churn(spark, sf_dir):
     """Cluster churn between snapshots: the 'en' subset vs the full corpus
-    (W3 heavy change at cluster granularity)."""
+    (W3 heavy change at cluster granularity).  Snapshots use the token-CC
+    clustering so the whole query has an exact recursive-CTE oracle."""
     from localitysensitivesketch_spark.operators.analytics import cluster_churn
 
     docs = _t(spark, sf_dir, "documents")
-    snap_a = D.minhash_lsh_dedup(docs.filter(F.col("lang") == "en"), CFG)
-    snap_b = D.minhash_lsh_dedup(docs, CFG)
-    return cluster_churn(snap_a["cluster_stats"], snap_b["cluster_stats"])
+
+    def snap(d):
+        edges = D.ngram_jaccard_pairs(
+            d, threshold=0.8, block_cols=("lang",)
+        ).select("id1", "id2")
+        cc = connected_components(d.select("doc_id"), edges)
+        return cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
+
+    snap_a = snap(docs.filter(F.col("lang") == "en"))
+    snap_b = snap(docs)
+    return cluster_churn(snap_a, snap_b)
 
 
 def _q_sketch_accuracy(spark, sf_dir):
@@ -469,6 +489,104 @@ WITH RECURSIVE t AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
+def _cc_snapshot_ctes(sfx: str, where: str) -> str:
+    """Recursive-CTE cluster-size table ``stats_{sfx}(cluster_id, size_{sfx})``
+    for the token-Jaccard clustering restricted by ``where`` (the same
+    machinery as the ``cluster_token_cc`` oracle)."""
+    return f"""
+t_{sfx} AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM documents {where}
+), edges_{sfx} AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t_{sfx} a JOIN t_{sfx} b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+), sym_{sfx} AS (
+  SELECT src, dst FROM edges_{sfx}
+  UNION SELECT dst AS src, src AS dst FROM edges_{sfx}
+), reach_{sfx}(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents {where}
+  UNION
+  SELECT r.src, s.dst FROM reach_{sfx} r JOIN sym_{sfx} s ON r.dst = s.src
+), cc_{sfx} AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach_{sfx} GROUP BY src
+), stats_{sfx} AS (
+  SELECT cluster_id, count(*) AS size_{sfx} FROM cc_{sfx} GROUP BY cluster_id
+)"""
+
+
+_CHURN_SQL = (
+    "WITH RECURSIVE "
+    + _cc_snapshot_ctes("a", "WHERE lang = 'en'").strip()
+    + ", "
+    + _cc_snapshot_ctes("b", "").strip()
+    + """
+SELECT coalesce(a.cluster_id, b.cluster_id) AS cluster_id,
+       coalesce(a.size_a, 0) AS size_a,
+       coalesce(b.size_b, 0) AS size_b,
+       abs(coalesce(b.size_b, 0) - coalesce(a.size_a, 0)) AS delta,
+       CASE WHEN coalesce(a.size_a, 0) = 0 THEN 'new'
+            WHEN coalesce(b.size_b, 0) = 0 THEN 'gone'
+            WHEN coalesce(b.size_b, 0) > coalesce(a.size_a, 0) THEN 'grown'
+            ELSE 'shrunk' END AS status
+FROM stats_a a FULL OUTER JOIN stats_b b ON a.cluster_id = b.cluster_id
+WHERE abs(coalesce(b.size_b, 0) - coalesce(a.size_a, 0)) > 0
+"""
+)
+
+
+def _value_cluster_oracle() -> str | None:
+    """Exact oracle for ``value_cluster_stats``: replicate the training
+    (same sorted sf0.01 values → same ``kmeans_pp_1d`` centers — the
+    trainer canonicalizes its sample by sorting, so centers depend only on
+    the value multiset), then inline the centers as literals into an
+    argmin CASE chain (first-match = lowest index, matching
+    ``array_position``).  The driver runs oracles at sf0.01 (TESTDATA.md).
+    """
+    try:
+        import duckdb
+        import numpy as np
+
+        from localitysensitivesketch_spark.operators.valuecluster import kmeans_pp_1d
+
+        vals = duckdb.sql(
+            "SELECT value FROM read_parquet("
+            "'/root/testdata/sf0.01/events.parquet') WHERE value IS NOT NULL"
+        ).fetchnumpy()["value"]
+        centers = kmeans_pp_1d(np.sort(np.asarray(vals, dtype=np.float64)))
+    except Exception:
+        return None  # driver then records the weaker rows-only check
+    cs = [float(c) for c in centers]
+    dists = ", ".join(f"abs(value - {c!r})" for c in cs)
+    case = " ".join(f"WHEN abs(value - {c!r}) = md THEN {i}" for i, c in enumerate(cs))
+    return f"""
+        WITH d AS (SELECT value, least({dists}) AS md FROM events),
+        a AS (SELECT CAST(CASE {case} END AS INT) AS value_cluster, value FROM d)
+        SELECT value_cluster, count(*) AS cnt,
+               round(sum(value), 4) AS total,
+               round(avg(value), 6) AS avg_estimate
+        FROM a GROUP BY value_cluster
+    """
+
+
+# decode_features fake-decode oracle: feature[i] = little-endian uint32 of
+# payload bytes [4i, 4i+4) (zero-padded) % 1000 / 1000 — reproduced with hex
+# slicing (byte j = hex chars 2j+1..2j+2; little-endian = reversed byte pairs).
+_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         rpad(coalesce(hex(encode(text)), ''), 128, '0') AS h,
+         text IS NOT NULL AS decode_ok
+  FROM documents
+), d AS (SELECT CAST(unnest(range(16)) AS INT) AS dim_idx)
+SELECT p.doc_id, d.dim_idx,
+       round((('0x' || substr(h, 8*d.dim_idx+7, 2) || substr(h, 8*d.dim_idx+5, 2)
+               || substr(h, 8*d.dim_idx+3, 2) || substr(h, 8*d.dim_idx+1, 2))::BIGINT
+              % 1000) / 1000.0, 6) AS value,
+       p.decode_ok
+FROM p CROSS JOIN d
+"""
+
 _COS = (
     "list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -497,7 +615,7 @@ WHERE round({_COS}, 6) >= 0.3
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "dedup_exact_groups": """
             SELECT md5(text) AS text_md5, count(*) AS group_size,
                    min(doc_id) AS canonical_doc_id
@@ -636,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "decode_features": _DECODE_SQL,
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "binary_meta": """
@@ -664,4 +783,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(0, least(duration_ms // 1000 + 1, 32))) * 1000 AS BIGINT) AS offset_ms
             FROM m
         """,
+        "cluster_churn": _CHURN_SQL,
     }
+    vc = _value_cluster_oracle()
+    if vc is not None:
+        out["value_cluster_stats"] = vc
+    return out

@@ -41,7 +41,10 @@ class SketchConfig:
     hamming_radius: int = 3
 
     # --- verification / clustering thresholds ---
-    jaccard_threshold: float = 0.707   # ≈ (1/bands)^(1/rows)
+    # pinned independently of the band geometry: the 32×4 S-curve midpoint
+    # is (1/32)^(1/4) ≈ 0.42, deliberately far below this threshold so
+    # detection at J=0.707 is ~0.9999 (see bands/rows note above)
+    jaccard_threshold: float = 0.707
 
     # --- suffix-array exact-substring pass (north_rule; no ref analogue) ---
     sa_min_len: int = 256              # tokens of verbatim overlap

@@ -61,22 +61,31 @@ def entropy(counts: DataFrame, cnt_col: str = "cnt") -> DataFrame:
 
 
 def percentile_threshold(
-    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt"
+    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt", exact: bool = True
 ) -> DataFrame:
-    """A7 (``QueryLSSFingerFlowApps.java:312-325``): exact interpolated
-    percentile of the count distribution → heavy-hitter threshold."""
+    """A7 (``QueryLSSFingerFlowApps.java:312-325``): percentile of the count
+    distribution → heavy-hitter threshold.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` — its
+    aggregation buffer holds EVERY value, so it is only safe when the input
+    is already an aggregate of bounded size (oracle-parity queries at test
+    SF).  Scale callers pass ``exact=False`` → ``percentile_approx``
+    (SURVEY §2.4 A7), a bounded-memory t-digest-style sketch.
+    """
+    expr = "percentile" if exact else "percentile_approx"
     return counts.agg(
-        _r6(F.expr(f"percentile({cnt_col}, {q})")).alias("threshold")
+        _r6(F.expr(f"{expr}({cnt_col}, {q})")).alias("threshold")
     )
 
 
 def heavy_hitters(
-    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt"
+    counts: DataFrame, q: float = 0.9, cnt_col: str = "cnt", exact: bool = True
 ) -> DataFrame:
     """A9 (``AsyncFlowApps.java:111-129``): keys with count strictly above the
     p-quantile threshold.  The threshold is a 1-row aggregate → broadcast
-    (no shuffle of the big side)."""
-    thr = percentile_threshold(counts, q, cnt_col)
+    (no shuffle of the big side).  ``exact`` as in
+    :func:`percentile_threshold` — scale callers pass ``False``."""
+    thr = percentile_threshold(counts, q, cnt_col, exact=exact)
     return (
         counts.crossJoin(F.broadcast(thr))
         .filter(F.col(cnt_col) > F.col("threshold"))
@@ -85,11 +94,17 @@ def heavy_hitters(
 
 
 def top_k(counts: DataFrame, k: int, cnt_col: str = "cnt") -> DataFrame:
-    """Deterministic top-k by count (ties broken by key) via rank window."""
+    """Deterministic top-k by count (ties broken by key).
+
+    ``orderBy().limit(k)`` plans as ``TakeOrderedAndProject`` — a per-
+    partition size-k heap merged on the driver, so only ``k`` rows ever
+    leave a partition (a global rank window would instead sort EVERY row in
+    one task).  The rank window afterwards runs on k rows only.
+    """
+    topk = counts.orderBy(F.col(cnt_col).desc(), F.col("key").asc()).limit(k)
     w = Window.orderBy(F.col(cnt_col).desc(), F.col("key").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("key", F.col(cnt_col).alias("cnt"), "rank")
     )
 
@@ -120,21 +135,28 @@ def heavy_change(
 
 
 def error_stats(
-    joined: DataFrame, true_col: str = "true_val", est_col: str = "est_val"
+    joined: DataFrame,
+    true_col: str = "true_val",
+    est_col: str = "est_val",
+    exact: bool = True,
 ) -> DataFrame:
     """A8 relative-error statistics (``QueryLSSFingerFlowApps.java:333-389``):
-    per-key rel. err → mean / stddev / p50 / p90 / p99 / min / max."""
+    per-key rel. err → mean / stddev / p50 / p90 / p99 / min / max.
+
+    ``exact=False`` swaps the exact ``percentile`` (whole-column buffer) for
+    ``percentile_approx`` — the bounded-memory path for scale callers."""
     err = joined.select(
         (F.abs(F.col(est_col) - F.col(true_col)) / F.abs(F.col(true_col))).alias(
             "rel_err"
         )
     )
+    pc = "percentile" if exact else "percentile_approx"
     return err.agg(
         _r6(F.mean("rel_err")).alias("mean_err"),
         _r6(F.stddev("rel_err")).alias("std_err"),
-        _r6(F.expr("percentile(rel_err, 0.5)")).alias("p50_err"),
-        _r6(F.expr("percentile(rel_err, 0.9)")).alias("p90_err"),
-        _r6(F.expr("percentile(rel_err, 0.99)")).alias("p99_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.5)")).alias("p50_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.9)")).alias("p90_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.99)")).alias("p99_err"),
         _r6(F.min("rel_err")).alias("min_err"),
         _r6(F.max("rel_err")).alias("max_err"),
     )
@@ -167,21 +189,38 @@ def histogram_cdf(
 
 def f1_score(estimated: DataFrame, truth: DataFrame, key_col: str = "key") -> DataFrame:
     """A14/J2 (``QueryLSSFingerFlowApps.java:447-459``): F1 of the estimated
-    key set vs the true key set, via inner-join (intersection) counts."""
+    key set vs the true key set, via inner-join (intersection) counts.
+
+    Fully declarative — one plan, no eager driver-side ``.count()`` actions:
+    the three 1-row count aggregates are broadcast-crossJoined and the
+    precision/recall/F1 arithmetic runs as expressions."""
     e = estimated.select(F.col(key_col).alias("key")).distinct()
     t = truth.select(F.col(key_col).alias("key")).distinct()
-    inter = e.join(t, "key", "inner").count()
-    ne, nt = e.count(), t.count()
-    precision = inter / ne if ne else 0.0
-    recall = inter / nt if nt else 0.0
-    f1 = (
-        2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
-    )
-    spark = estimated.sparkSession
-    return spark.createDataFrame(
-        [(inter, ne, nt, round(precision, 6), round(recall, 6), round(f1, 6))],
-        "n_intersect long, n_estimated long, n_truth long, "
-        "precision double, recall double, f1 double",
+    inter = e.join(t, "key", "inner").agg(F.count("*").alias("n_intersect"))
+    ne = e.agg(F.count("*").alias("n_estimated"))
+    nt = t.agg(F.count("*").alias("n_truth"))
+    prec = F.when(
+        F.col("n_estimated") > 0, F.col("n_intersect") / F.col("n_estimated")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("n_intersect") / F.col("n_truth")
+    ).otherwise(F.lit(0.0))
+    # f1 computed from the UNrounded precision/recall (rounding first would
+    # shift the 6th decimal vs the oracle)
+    f1 = F.when(
+        (prec + rec) > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return (
+        inter.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_intersect",
+            "n_estimated",
+            "n_truth",
+            _r6(prec).alias("precision"),
+            _r6(rec).alias("recall"),
+            _r6(f1).alias("f1"),
+        )
     )
 
 
@@ -239,6 +278,7 @@ def sketch_accuracy_report(
     verified: DataFrame,
     signatures: DataFrame,
     threshold: float,
+    exact: bool = False,
 ) -> DataFrame:
     """The reference's per-window accuracy suite
     (``QueryLSSFingerFlowApps.java:333-459``: relative-error distribution of
@@ -252,27 +292,29 @@ def sketch_accuracy_report(
         "rel_err",
         F.abs(F.col("est_jaccard") - F.col("jaccard")) / F.col("jaccard"),
     )
+    pc = "percentile" if exact else "percentile_approx"
     stats = err.agg(
         F.count("*").alias("n_pairs"),
         _r6(F.mean("rel_err")).alias("mean_err"),
-        _r6(F.expr("percentile(rel_err, 0.5)")).alias("p50_err"),
-        _r6(F.expr("percentile(rel_err, 0.9)")).alias("p90_err"),
-        _r6(F.expr("percentile(rel_err, 0.99)")).alias("p99_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.5)")).alias("p50_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.9)")).alias("p90_err"),
+        _r6(F.expr(f"{pc}(rel_err, 0.99)")).alias("p99_err"),
         _r6(F.max("rel_err")).alias("max_err"),
     )
-    hh_est = est.filter(F.col("est_jaccard") >= threshold).select("id1", "id2")
-    hh_true = est.filter(F.col("jaccard") >= threshold).select("id1", "id2")
-    inter = hh_est.join(hh_true, ["id1", "id2"], "inner").count()
-    ne, nt = hh_est.count(), hh_true.count()
-    precision = inter / ne if ne else 1.0
-    recall = inter / nt if nt else 1.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return stats.select(
-        "*",
-        F.lit(round(precision, 6)).alias("detect_precision"),
-        F.lit(round(recall, 6)).alias("detect_recall"),
-        F.lit(round(f1, 6)).alias("detect_f1"),
+    # detection F1 via the declarative f1_score (struct pair key) — the
+    # whole report is ONE lazy plan, no eager .count() jobs
+    hh_est = est.filter(F.col("est_jaccard") >= threshold).select(
+        F.struct("id1", "id2").alias("key")
     )
+    hh_true = est.filter(F.col("jaccard") >= threshold).select(
+        F.struct("id1", "id2").alias("key")
+    )
+    detect = f1_score(hh_est, hh_true).select(
+        F.col("precision").alias("detect_precision"),
+        F.col("recall").alias("detect_recall"),
+        F.col("f1").alias("detect_f1"),
+    )
+    return stats.crossJoin(F.broadcast(detect))
 
 
 def tumbling_window_counts(

@@ -1,18 +1,31 @@
-"""Duplicate clustering: iterative min-label connected components.
+"""Duplicate clustering: DataFrame-only connected components.
 
 The reference's end product is a cluster assignment per key (the paper's
 "clustering-preserving" guarantee — keys grouped by value similarity,
 ``Sketching/LSSFingerprintAtomic.java:474-498``).  Ours is the duplicate
-cluster label per doc, computed with DataFrame-only iterative min-label
-propagation (union-find analogue; SURVEY §4.2 item 2):
+cluster label per doc.  Two interchangeable algorithms behind one
+interface (SURVEY §4.2 item 2):
 
-  label(v) ← min(label(v), min over neighbors u of label(u))
+* ``algorithm="label"`` (default) — iterative min-label propagation:
+  ``label(v) ← min(label(v), min over neighbors u of label(u))`` to
+  fixpoint.  O(diameter) rounds — duplicate clusters from LSH banding are
+  near-cliques, so 2-3 rounds in practice.
+* ``algorithm="star"`` — alternating large-star / small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+  O(log n) rounds regardless of diameter — the fallback for chain-shaped
+  graphs (boilerplate A↔B↔C…) where label propagation needs O(n) rounds.
 
-repeated to fixpoint.  Deterministic and order-independent (min is
-commutative/associative), so labels are identical at any parallelism level —
-the engine's analogue of "same config ⇒ same clusters".  Canonical member =
+Both are deterministic and order-independent (min is commutative/
+associative), so labels are identical at any parallelism level — the
+engine's analogue of "same config ⇒ same clusters".  Canonical member =
 min(doc_id).  ``localCheckpoint`` each round truncates the lineage that
 iterative joins otherwise accumulate.
+
+Scale notes: the iteration runs ONLY over vertices incident to ≥1 edge —
+isolated vertices (the vast majority of a web corpus: non-duplicates)
+never enter the loop joins and are labeled with themselves in one final
+left join.  Labels are initialized to min(v, min neighbor), which IS the
+first propagation round — one fewer iteration (2 Spark jobs) per run.
 """
 
 from __future__ import annotations
@@ -21,25 +34,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """(id1, id2) → symmetric (src, dst) edge list, self-loops dropped."""
+    return (
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """vertices(id), edges(id1, id2) → (doc_id, cluster_id).
 
     cluster_id = min doc_id reachable in the undirected graph.  Isolated
-    vertices label themselves.  Converges in O(diameter) rounds — duplicate
-    clusters are near-cliques from LSH banding, so 2-4 rounds in practice.
+    vertices label themselves (outside the iteration).
     """
-    labels = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
-    labels = labels.withColumn("label", F.col("id"))
+    if algorithm == "star":
+        return connected_components_star(vertices, edges, id_col, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
 
-    sym = (
-        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-        .unionByName(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-        .distinct()
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    sym = _sym_edges(edges).localCheckpoint(eager=True)
+
+    # init = min(v, min neighbor): round 1 of propagation, for free
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nbr")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -60,15 +94,100 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         labels = new_labels.select("id", "label")
-        # duplicate clusters are near-cliques: ≥2 rounds are always needed,
-        # so the convergence-count job (one extra Spark job per round) only
-        # starts at round 3
-        if it >= 2:
+        # the init already did round 1, and near-clique duplicate graphs
+        # always need ≥1 more — the convergence-count job (one extra Spark
+        # job per round) only starts at the second loop round
+        if it >= 1:
             changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
             if changed == 0:
                 break
 
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return verts.join(labels, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("label", F.col("id")).alias("cluster_id"),
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    Each round rewrites the edge set (canonical ``lo < hi`` pairs):
+
+    * **large-star** — per node u with closed-neighborhood min m:
+      every neighbor v > u re-attaches to m, i.e. emit (m, v);
+    * **small-star** — per node u: every neighbor v < u re-attaches to m,
+      plus u itself, i.e. emit (m, v) and (m, u).
+
+    Components contract into stars centered at their min node in
+    O(log n) rounds (Kiveris et al., SoCC 2014 — published algorithm,
+    reimplemented from the paper).  Fixpoint = edge set unchanged; at
+    fixpoint every edge is (component_min, member).
+    """
+    verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
+    E = (
+        edges.select(
+            F.least("id1", "id2").alias("lo"), F.greatest("id1", "id2").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def closed_min(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        # large-star
+        sym = symmetrize(E)
+        ls = (
+            sym.join(closed_min(sym), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star
+        sym2 = symmetrize(ls)
+        m2 = closed_min(sym2)
+        ss = (
+            sym2.join(m2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .unionByName(m2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # m ≤ v and m ≤ u by construction, so (lo, hi) stays canonical
+        converged = (
+            ss.count() == E.count() and ss.exceptAll(E).count() == 0
+        )
+        E = ss
+        if converged:
+            break
+
+    stars = E.groupBy("hi").agg(F.min("lo").alias("label"))
+    return verts.join(
+        stars.select(F.col("hi").alias("id"), "label"), "id", "left"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("label", F.col("id")).alias("cluster_id"),
+    )
 
 
 def cluster_stats(assignments: DataFrame, documents: DataFrame | None = None,

@@ -17,11 +17,11 @@ Tiers 3-4 reuse the staged operators (signatures/candidates/verify/cluster).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
-from .candidates import band_candidates, simhash_candidates
+from .candidates import band_candidates, pairs_by_key, simhash_candidates
 from .cluster import connected_components
 from .signatures import compute_signatures
 from .verify import duplicate_edges, verify_pairs
@@ -62,42 +62,77 @@ def exact_dedup(
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    block_cols: tuple[str, ...] = ("lang",),
+    block_cols: tuple[str, ...] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cfg: SketchConfig | None = None,
 ) -> DataFrame:
-    """Token-set (1-gram) Jaccard pairs within blocking groups — JVM-side
-    ``array_intersect``/``array_union`` on distinct token arrays, so it has
-    an exact SQL oracle.  Blocking bounds the self-join (at scale the block
-    key is an LSH band or shard key; all-pairs is never materialized)."""
+    """Token-set (1-gram) Jaccard pairs via an EXACT prefix-filter
+    set-similarity join (AllPairs, Bayardo/Ma/Srikant WWW'07).
+
+    Candidate generation: order tokens by global document frequency
+    (rarest first); each doc exposes only its prefix of length
+    ``|A| - ceil(t*|A|) + 1``.  Prefix-filter lemma: J(A,B) >= t implies
+    the two prefixes share a token -- so joining on prefix tokens has
+    **recall 1.0** (unlike MinHash banding) while the join fans out on rare
+    tokens instead of the quadratic-in-block self-join.  Candidates then
+    get the size-ratio prune (J <= min/max of set sizes) and the exact
+    ``array_intersect/array_union`` Jaccard -- still SQL-oracle-checkable.
+
+    ``block_cols`` optionally restricts pairs to equal block values (the
+    join key becomes (block, token)); with the default ``None`` the join is
+    global -- the scale-safe default, since prefix tokens are
+    high-cardinality keys.  Hot prefix tokens go through the same
+    salted/width-capped machinery as LSH bands (``pairs_by_key``), so a
+    boilerplate token cannot go quadratic silently (drops are logged in
+    the skew metrics; cap semantics match the rest of the engine).
+    """
+    cfg = cfg or SketchConfig()
+    t = float(threshold)
+    blk = (
+        F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+        if block_cols
+        else F.lit("")
+    )
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.concat_ws("", *[F.col(c) for c in block_cols]).alias("blk"),
+        blk.alias("blk"),
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "toks"
         ),
+    ).withColumn("n", F.size("toks"))
+
+    tok = base.select("doc_id", "blk", "n", F.explode("toks").alias("tok"))
+    # global token document-frequency; the ordering only shapes performance
+    # (rarest-first minimizes bucket widths), never correctness
+    tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tok_df").asc(), F.col("tok").asc()
     )
-    base = base.withColumn("n", F.size("toks"))
+    prefix = (
+        tok.join(tok_df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    )
+    keyed = prefix.select(
+        "doc_id", F.xxhash64(F.col("blk"), F.col("tok")).alias("key")
+    )
+    pairs, _ = pairs_by_key(keyed, cfg)
+
     a = base.select(
         F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
-        F.col("n").alias("n1"), "blk",
+        F.col("n").alias("n1"),
     )
     b = base.select(
         F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
-        F.col("n").alias("n2"), "blk",
+        F.col("n").alias("n2"),
     )
-    # size-ratio prune in the join condition: J(A,B) <= min(|A|,|B|) /
-    # max(|A|,|B|) over distinct token sets, so pairs failing the ratio can
-    # never reach the threshold -- semantics identical, the expensive
-    # array_intersect runs only on survivors.
-    t = float(threshold)
     return (
-        a.join(b, "blk")
-        .where(
-            (F.col("id1") < F.col("id2"))
-            & (F.col("n1") >= F.col("n2") * t)
-            & (F.col("n2") >= F.col("n1") * t)
-        )
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        # size-ratio prune: the expensive array_intersect runs only on pairs
+        # that can still reach the threshold
+        .where((F.col("n1") >= F.col("n2") * t) & (F.col("n2") >= F.col("n1") * t))
         .select(
             "id1",
             "id2",

@@ -99,20 +99,34 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
+    n_bits: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
 
     ``block_col`` is the blocking key for the self-join (at 100 TB an
-    all-pairs cross join is impossible; block on an LSH bucket / shard key —
-    here the dataset's label column, or hyperplane buckets from
-    :func:`hyperplane_buckets`).
+    all-pairs cross join is impossible).  With the default ``None`` the
+    scale-safe path is taken automatically: docs are blocked on their
+    :func:`hyperplane_buckets` SimHash bucket (cosine-similar vectors share
+    buckets with probability ``(1 − θ/π)^n_bits``) — pass a dataset shard/
+    label column only when one exists and exact within-block recall is
+    wanted.
     """
+    if block_col is None:
+        buckets = hyperplane_buckets(
+            corpus, dim=None, n_bits=n_bits, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        corpus = corpus.join(
+            buckets.withColumnRenamed("vec_id", id_col), id_col
+        )
+        block_col = "bucket"
     base = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        F.col(block_col).alias("blk"),
     )
     a = base.select(
         F.col("vid").alias("id1"), F.col("vec").alias("v1"),
@@ -143,12 +157,14 @@ def embedding_near_dup_pairs(
 _HYPERPLANE_SCHEMA = "vec_id long, bucket long"
 
 
-def _hyperplane_fn(dim: int, n_bits: int, seed: int):
+def _hyperplane_fn(dim: int | None, n_bits: int, seed: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # deterministic hyperplanes from the pinned seed (same construction
-        # as the MinHash family: splitmix64-derived, SURVEY §4.2 item 3)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_bits))
+        # as the MinHash family: splitmix64-derived, SURVEY §4.2 item 3);
+        # dim=None defers plane construction to the first batch — planes
+        # depend only on (dim, n_bits, seed), so every partition builds the
+        # same matrix
+        planes = None
         weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
             np.uint64
         )
@@ -156,6 +172,11 @@ def _hyperplane_fn(dim: int, n_bits: int, seed: int):
             if not len(pdf):
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal(
+                    (mat.shape[1] if dim is None else dim, n_bits)
+                )
             bits = (mat @ planes) > 0
             buckets = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
             yield pd.DataFrame(
@@ -170,7 +191,7 @@ def _hyperplane_fn(dim: int, n_bits: int, seed: int):
 
 def hyperplane_buckets(
     corpus: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_bits: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",

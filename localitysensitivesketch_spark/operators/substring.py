@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..config import SketchConfig
 from ..functions import hashing as H
 from ..functions.text import tokenize
-from .candidates import pairs_by_key
+from .candidates import HOT_THRESHOLD, pairs_by_key
 
 FINGERPRINT_SCHEMA = "doc_id long, pos int, fp long"
 
@@ -122,21 +122,47 @@ def substring_pairs(
     _, metrics = pairs_by_key(keyed, cfg)  # metrics only (width classes)
 
     widths = fps.groupBy("fp").agg(F.count("*").alias("width"))
-    ok = fps.join(
-        F.broadcast(widths.filter(F.col("width") > cfg.band_width_cap).select("fp")),
-        "fp",
-        "left_anti",
+    dropped = widths.filter(F.col("width") > cfg.band_width_cap)
+    hot = widths.filter(
+        (F.col("width") > HOT_THRESHOLD) & (F.col("width") <= cfg.band_width_cap)
     )
-    a = ok.select(
+    ok = fps.join(F.broadcast(dropped.select("fp")), "fp", "left_anti")
+    normal = ok.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    hot_rows = ok.join(F.broadcast(hot.select("fp")), "fp", "left_semi")
+
+    a = normal.select(
         F.col("fp"), F.col("doc_id").alias("id1"), F.col("pos").alias("pos1")
     )
-    b = ok.select(
+    b = normal.select(
         F.col("fp"), F.col("doc_id").alias("id2"), F.col("pos").alias("pos2")
     )
-    matches = (
+    matches_normal = (
         a.join(b, "fp")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag"))
+        .select("id1", "id2", "pos1", "pos2")
+    )
+    # buckets in (HOT_THRESHOLD, cap] take the position-preserving version
+    # of the salted scheme from pairs_by_key: one boilerplate fingerprint of
+    # width ~5000 would otherwise produce its ~12.5M pair rows in a single
+    # skewed task — salting the left side by doc hash and replicating the
+    # right to every salt spreads that across salt_factor partitions while
+    # still producing every unordered pair exactly once.
+    s = cfg.salt_factor
+    hl = hot_rows.select(
+        F.col("fp"), F.col("doc_id").alias("id1"), F.col("pos").alias("pos1"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(s)).cast("int").alias("salt"),
+    )
+    hr = hot_rows.select(
+        F.col("fp"), F.col("doc_id").alias("id2"), F.col("pos").alias("pos2"),
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("salt"),
+    )
+    matches_hot = (
+        hl.join(hr, ["fp", "salt"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "pos1", "pos2")
+    )
+    matches = matches_normal.unionByName(matches_hot).select(
+        "id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag")
     )
     pairs = (
         matches.groupBy("id1", "id2", "diag")

@@ -25,29 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def kmeans_pp_train(
-    df: DataFrame,
-    value_col: str,
-    k: int = 8,
-    seed: int = 42,
-    sample_cap: int = 100_000,
-    n_iter: int = 20,
+def kmeans_pp_1d(
+    values: np.ndarray, k: int = 8, seed: int = 42, n_iter: int = 20
 ) -> np.ndarray:
-    """k-means++ init + Lloyd iterations on a driver-side sample (1-D).
+    """Pure-numpy 1-D k-means++ init + Lloyd iterations.
 
-    Mirrors ``initClusterCenters`` (``LSSFingerprintAtomic.java:436-468``):
-    train once on a trace sample, reuse the centers for every window.
-    Returns sorted float64 centers (sorted ⇒ deterministic cluster ids).
-    """
-    total = df.count()
-    frac = min(1.0, sample_cap / max(total, 1))
-    sample = (
-        df.select(F.col(value_col).cast("double").alias("v"))
-        .dropna()
-        .sample(fraction=frac, seed=seed)
-        .toPandas()["v"]
-        .to_numpy()
-    )
+    Deterministic in the INPUT ORDER of ``values`` — callers canonicalize
+    (sort) first so centers depend only on the value multiset.  Shared by
+    the Spark trainer and the DuckDB oracle replication in
+    ``__spark_entry__`` (the shadow-map pattern: approximate path and exact
+    path trained identically, compared exactly)."""
+    sample = np.asarray(values, dtype=np.float64)
     if sample.size == 0:
         return np.zeros(k)
     rng = np.random.default_rng(seed)
@@ -72,6 +60,35 @@ def kmeans_pp_train(
             if m.any():
                 c[j] = sample[m].mean()
     return np.sort(c)
+
+
+def kmeans_pp_train(
+    df: DataFrame,
+    value_col: str,
+    k: int = 8,
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    n_iter: int = 20,
+) -> np.ndarray:
+    """k-means++ init + Lloyd iterations on a driver-side sample (1-D).
+
+    Mirrors ``initClusterCenters`` (``LSSFingerprintAtomic.java:436-468``):
+    train once on a trace sample, reuse the centers for every window.
+    Returns sorted float64 centers (sorted ⇒ deterministic cluster ids).
+    The sample is sorted before training so the centers are independent of
+    partition/row order (order-independence at any parallelism, like every
+    other operator here).
+    """
+    total = df.count()
+    frac = min(1.0, sample_cap / max(total, 1))
+    sample = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .dropna()
+        .sample(fraction=frac, seed=seed)
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    return kmeans_pp_1d(np.sort(sample), k=k, seed=seed, n_iter=n_iter)
 
 
 def assign_nearest_center(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
+from ..functions.bloom import bloom_build, might_contain
 from ..operators.candidates import pairs_by_key
 from ..operators.cluster import connected_components
 from ..operators.signatures import compute_signatures
@@ -62,6 +63,19 @@ def incremental_update(
     old_keys = old_sigs.filter(F.col("n_shingles") > 0).select(
         F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
     )
+    # M2 Bloom pre-filter (functions/bloom.py; reference BloomFilter.java:
+    # 153-232): old-side band-key rows whose key cannot be among the new
+    # batch's keys are dropped by a codegen'd might_contain BEFORE the
+    # shuffle join — at scale |old| ≫ |new|, so this turns the join's big
+    # side into ~|matching old rows|.  Optional: on failure the plain join
+    # runs (pre-filter is lossless up to false positives, which the join
+    # itself then discards).
+    n_new_keys = new_keys.count()
+    bloom = bloom_build(new_keys, "key", expected_items=max(n_new_keys, 1))
+    if bloom is not None:
+        pred = might_contain(old_keys, "key", bloom)
+        if pred is not None:
+            old_keys = old_keys.filter(pred)
     no_pairs = (
         new_keys.join(old_keys, "key")
         .filter(F.col("doc_id") != F.col("old_id"))
@@ -78,6 +92,9 @@ def incremental_update(
         signatures=old_sigs.unionByName(new_sigs),
         min_jaccard=cfg.jaccard_threshold,
     )
+    # merge the verified table too — a later resume must never pair a stale
+    # 'verified' commit with the merged candidates/edges written below
+    merged_verified = store.read("verified").unionByName(verified).distinct()
     new_edges = duplicate_edges(verified, cfg)
     merged_edges = store.read("edges").unionByName(new_edges).distinct()
 
@@ -94,6 +111,7 @@ def incremental_update(
     # snapshot isolation makes this a no-op)
     merged_sigs = merged_sigs.localCheckpoint(eager=True)
     merged_cands = merged_cands.localCheckpoint(eager=True)
+    merged_verified = merged_verified.localCheckpoint(eager=True)
     merged_edges = merged_edges.localCheckpoint(eager=True)
     clusters = clusters.localCheckpoint(eager=True)
     stats = stats.localCheckpoint(eager=True)
@@ -102,7 +120,11 @@ def incremental_update(
     out = {}
     out["signatures"] = store.write("signatures", merged_sigs, wall)
     out["candidates"] = store.write("candidates", merged_cands, wall)
+    out["verified"] = store.write("verified", merged_verified, wall)
     out["edges"] = store.write("edges", merged_edges, wall)
     out["clusters"] = store.write("clusters", clusters, wall)
     out["cluster_stats"] = store.write("cluster_stats", stats, wall)
+    # the per-run skew metrics describe only the batch that produced them —
+    # invalidate so a resume recomputes instead of reusing a stale table
+    store.invalidate("skew_metrics")
     return out

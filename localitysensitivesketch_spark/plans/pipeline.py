@@ -146,6 +146,13 @@ class CheckpointStore:
             f.write(json.dumps(meta) + "\n")
         return out
 
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage's commit marker so a later resume recomputes it
+        (data files stay until overwritten — the marker IS the commit)."""
+        p = self._commit_path(stage)
+        if os.path.exists(p):
+            os.remove(p)
+
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(
             os.path.join(self._stage_dir(stage), "data.parquet")

@@ -69,12 +69,11 @@ _DECODE_SCHEMA = "doc_id long, feature array<float>, decode_ok boolean"
 
 def _decode_fn(strict: bool, feature_dim: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # the real decoder would live here (PIL / torchvision / ffmpeg)
-            import PIL.Image  # noqa: F401
-
-            have_codec = True
-        except ImportError:
-            have_codec = False
+        # The real decoder (PIL / torchvision / ffmpeg → decode, resize, pool
+        # to feature_dim) is NOT implemented in this environment.  strict=True
+        # surfaces that as an error; strict=False always takes the
+        # deterministic fake-feature path — a merely-importable image library
+        # must not change behavior until a codec body is actually wired.
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -84,15 +83,9 @@ def _decode_fn(strict: bool, feature_dim: int):
             for i, payload in enumerate(pdf["payload"]):
                 if payload is None:
                     continue
-                if have_codec:
-                    # Real path (untested in this sandbox): decode, resize,
-                    # pool to feature_dim — same output contract as the fake.
-                    raise NotImplementedError(
-                        "real image decode not wired in this environment"
-                    )
                 if strict:
                     raise NotImplementedError(
-                        "no image codec available; pass strict=False for the "
+                        "no image codec wired; pass strict=False for the "
                         "deterministic fake-feature path"
                     )
                 # STUB: deterministic fake feature from payload bytes —

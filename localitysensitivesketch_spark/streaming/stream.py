@@ -31,19 +31,60 @@ from ..operators.candidates import pairs_by_key
 from ..operators.signatures import compute_signatures
 
 
+DOC_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
 def read_document_stream(
     spark: SparkSession,
-    path: str,
-    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    path: str | None = None,
+    schema: str = DOC_SCHEMA,
     max_files_per_trigger: int = 4,
+    source: str = "files",
+    kafka_bootstrap_servers: str | None = None,
+    kafka_topic: str | None = None,
+    kafka_starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """S1/S4 analogue: a document stream from a parquet directory (swap for
-    Kafka in production; the transform graph is identical)."""
+    """S1/S4 analogue: a document stream — parquet directory (the tested
+    sandbox path) or a Kafka topic (``source="kafka"``; the reference's
+    Pulsar consumer role, ``Sub4SketchingKVStream.java:236-302``).  The
+    downstream transform graph is identical for both sources."""
+    if source == "kafka":
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap_servers)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", kafka_starting_offsets)
+            .load()
+        )
+        return project_kafka_records(raw, schema)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def project_kafka_records(raw: DataFrame, schema: str = DOC_SCHEMA) -> DataFrame:
+    """Kafka-shaped records (key/value binary + topic/partition/offset/
+    timestamp) → the documents schema.
+
+    Wire format: ``value`` is a UTF-8 JSON envelope of the document row
+    with ``html`` base64-encoded (binary can't ride JSON) — the engine's
+    version of the reference's Avro KV codec (``control/MyKeyValueSchema.
+    java:8-56``).  Pure JVM expressions (``from_json``/``unbase64``), so
+    this projection is unit-testable on a batch DataFrame without a broker
+    and runs inside codegen on the stream.
+    """
+    json_schema = schema.replace("html binary", "html string")
+    parsed = raw.select(
+        F.from_json(F.decode(F.col("value"), "UTF-8"), json_schema).alias("d")
+    )
+    cols = []
+    for field in json_schema.split(","):
+        name = field.strip().split()[0]
+        c = F.col(f"d.{name}")
+        cols.append(F.unbase64(c).alias("html") if name == "html" else c.alias(name))
+    return parsed.select(*cols)
 
 
 def stream_signatures(
@@ -91,39 +132,13 @@ def incremental_candidates(
     restart resumes from the stream checkpoint exactly like the reference's
     deserialize-and-continue path (``LSSFingerprintAtomic.java:1405-1483``).
     """
-    sig_path = os.path.join(store_root, "sigs")
-    pair_path = os.path.join(store_root, "pairs")
     ckpt = os.path.join(store_root, "_stream_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sigs = compute_signatures(
-            batch_df, cfg, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
-        new_keys = sigs.filter(F.col("n_shingles") > 0).select(
-            "doc_id", F.explode("band_keys").alias("key")
+        process_incremental_batch(
+            spark, batch_df, batch_id, cfg, store_root,
+            id_col=id_col, text_col=text_col,
         )
-        # new-vs-new within the batch (salted/capped machinery reused)
-        pairs, _ = pairs_by_key(new_keys, cfg)
-        # new-vs-old against the accumulated store
-        if os.path.exists(sig_path):
-            old = spark.read.parquet(sig_path)
-            old_keys = old.filter(F.col("n_shingles") > 0).select(
-                F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
-            )
-            cross = (
-                new_keys.join(old_keys, "key")
-                .filter(F.col("doc_id") != F.col("old_id"))
-                .select(
-                    F.least("doc_id", "old_id").alias("id1"),
-                    F.greatest("doc_id", "old_id").alias("id2"),
-                )
-                .distinct()
-            )
-            pairs = pairs.unionByName(cross).distinct()
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pair_path
-        )
-        sigs.write.mode("append").parquet(sig_path)
 
     w = (
         documents.writeStream.foreachBatch(process_batch)
@@ -133,6 +148,64 @@ def incremental_candidates(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def process_incremental_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: SketchConfig,
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of :func:`incremental_candidates` — module-level so
+    the replay contract is directly unit-testable.
+
+    **Idempotent by construction**: both outputs are partitioned by
+    batch_id and written with DYNAMIC partition overwrite, so when
+    Structured Streaming replays the last uncommitted batch after a
+    failure/restart (same batch_id, same rows), the replay rewrites ITS
+    OWN partition instead of appending duplicate rows (duplicate doc_ids
+    would otherwise inflate every downstream candidate join).
+    """
+    sig_path = os.path.join(store_root, "sigs")
+    pair_path = os.path.join(store_root, "pairs")
+    sigs = compute_signatures(
+        batch_df, cfg, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    new_keys = sigs.filter(F.col("n_shingles") > 0).select(
+        "doc_id", F.explode("band_keys").alias("key")
+    )
+    # new-vs-new within the batch (salted/capped machinery reused)
+    pairs, _ = pairs_by_key(new_keys, cfg)
+    # new-vs-old against the accumulated store
+    if os.path.exists(sig_path):
+        old = spark.read.parquet(sig_path)
+        old_keys = old.filter(F.col("n_shingles") > 0).select(
+            F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
+        )
+        cross = (
+            new_keys.join(old_keys, "key")
+            .filter(F.col("doc_id") != F.col("old_id"))
+            .select(
+                F.least("doc_id", "old_id").alias("id1"),
+                F.greatest("doc_id", "old_id").alias("id2"),
+            )
+            .distinct()
+        )
+        pairs = pairs.unionByName(cross).distinct()
+    pairs = pairs.localCheckpoint(eager=True)  # plan may read pair/sig dirs
+    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(pair_path)
+    sigs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(sig_path)
 
 
 def windowed_event_counts(

@@ -286,3 +286,103 @@ def test_refine_overlap_exact_matches_planted_block(spark):
     assert refined, "planted substring pairs must be detected"
     for r in refined:
         assert r["overlap_exact"] >= 256, r
+
+
+# ---------------------------------------------------------------------------
+# round-2: scale-plan assertions + CC algorithms + prefix-filter exactness
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_top_k_plans_take_ordered(spark):
+    """top_k must plan TakeOrderedAndProject (per-partition k-heap), never a
+    global single-partition window sort (the 100×-scale killer)."""
+    counts = spark.createDataFrame(
+        [("k%d" % i, i) for i in range(100)], "key string, cnt long"
+    )
+    assert "TakeOrderedAndProject" in _plan(A.top_k(counts, 5))
+
+
+def test_percentile_approx_plan_and_exact_default(spark):
+    counts = spark.createDataFrame(
+        [("k%d" % i, i) for i in range(100)], "key string, cnt long"
+    )
+    approx = _plan(A.percentile_threshold(counts, 0.9, exact=False))
+    assert "percentile_approx" in approx or "approx_percentile" in approx
+    exact = _plan(A.percentile_threshold(counts, 0.9))
+    assert "percentile_approx" not in exact and "approx_percentile" not in exact
+    # values agree on this smooth distribution
+    a = A.percentile_threshold(counts, 0.9, exact=False).collect()[0]["threshold"]
+    e = A.percentile_threshold(counts, 0.9).collect()[0]["threshold"]
+    assert abs(a - e) <= 1.0
+
+
+def test_cc_star_path_graph_converges_in_log_rounds(spark):
+    """1000-node path graph: min-label needs O(n) rounds, large-star/
+    small-star must finish within ~log2(n) alternations (15 ≫ log2(1000))."""
+    from localitysensitivesketch_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    n = 1000
+    verts = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    out = connected_components_star(verts, edges, max_iter=15).collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == n
+
+
+def test_cc_label_and_star_agree_on_random_graph(spark):
+    from localitysensitivesketch_spark.operators.cluster import connected_components
+
+    rng = np.random.default_rng(7)
+    n = 300
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(250, 2))
+        if a != b
+    ]
+    verts = spark.range(n).withColumnRenamed("id", "doc_id")
+    edf = spark.createDataFrame(edges, "id1 long, id2 long")
+    lab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, edf, algorithm="label").collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, edf, algorithm="star").collect()
+    }
+    assert lab == star and len(lab) == n
+
+
+def test_ngram_prefix_filter_is_exact(spark):
+    """The prefix-filter join (recall-1.0 lemma) must return EXACTLY the
+    brute-force all-pairs Jaccard result — no blocking key needed."""
+    from itertools import combinations
+
+    from localitysensitivesketch_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = generate_corpus(n_docs=120, seed=11, dup_fraction=0.5)
+    docs = with_doc_id(corpus_to_spark(spark, corpus))
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: set(r["text"].strip().lower().split()) for r in rows
+    }
+    t = 0.6
+    expected = set()
+    for a, b in combinations(sorted(toks), 2):
+        inter = len(toks[a] & toks[b])
+        union = len(toks[a] | toks[b])
+        if union and round(inter / union, 6) >= t:
+            expected.add((a, b))
+    got = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert got == expected and expected  # fixture must plant some pairs

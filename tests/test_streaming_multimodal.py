@@ -205,3 +205,96 @@ def test_binary_kv_records_roundtrip(spark, tmp_path):
     }
     assert counts[b"\x0a\x00\x00\x01"] == 3 + 2_000_000_000
     assert counts[b"\x0a\x00\x00\x02"] == -7
+
+
+# ---------------------------------------------------------------------------
+# round-2: kafka projection, replay idempotence, bloom pre-filter
+# ---------------------------------------------------------------------------
+
+
+def test_project_kafka_records_batch(spark):
+    """The Kafka branch's value→document projection, unit-tested on a
+    batch DataFrame with the exact kafka source shape (no broker)."""
+    import base64
+    import json
+
+    docs = [
+        {"url": "http://a", "warc_ts": "2024-01-01 00:00:00",
+         "html": base64.b64encode(b"<p>hi</p>").decode(), "text": "hi there",
+         "lang": "en"},
+        {"url": "http://b", "warc_ts": "2024-02-02 12:00:00", "html": None,
+         "text": "hallo", "lang": "de"},
+    ]
+    rows = [
+        (b"k1", json.dumps(d).encode(), "docs", 0, i, None)
+        for i, d in enumerate(docs)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = {r["url"]: r for r in ST.project_kafka_records(raw).collect()}
+    assert set(out) == {"http://a", "http://b"}
+    assert bytes(out["http://a"]["html"]) == b"<p>hi</p>"
+    assert out["http://a"]["text"] == "hi there"
+    assert out["http://b"]["lang"] == "de"
+    assert str(out["http://b"]["warc_ts"]).startswith("2024-02-02")
+
+
+def test_incremental_candidates_replay_is_idempotent(spark, tmp_path):
+    """Structured Streaming's failure contract: after a crash between the
+    sink write and the checkpoint commit, the LAST batch is replayed with
+    the same batch_id against a store that already contains that batch's
+    own writes.  The per-batch dynamic partition overwrite must make the
+    replay rewrite its own partition instead of appending duplicates."""
+    path, docs = _write_docs(spark, tmp_path, n=60, seed=23, n_files=2)
+    store = str(tmp_path / "store")
+    b0 = docs.filter(F.xxhash64("doc_id") % 2 == 0)
+    b1 = docs.filter(F.xxhash64("doc_id") % 2 != 0)
+
+    ST.process_incremental_batch(spark, b0, 0, CFG, store)
+    ST.process_incremental_batch(spark, b1, 1, CFG, store)
+    sigs1 = spark.read.parquet(f"{store}/sigs").count()
+    pairs1 = sorted(
+        (r["id1"], r["id2"], r["batch_id"])
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    )
+    assert sigs1 == 60 and pairs1
+    # replay the last batch (crash-before-commit): same batch_id, same rows,
+    # store already holds batch 1's sigs/pairs
+    ST.process_incremental_batch(spark, b1, 1, CFG, store)
+    sigs2_df = spark.read.parquet(f"{store}/sigs")
+    assert sigs2_df.count() == sigs1
+    assert sigs2_df.select("doc_id").distinct().count() == sigs1
+    pairs2 = sorted(
+        (r["id1"], r["id2"], r["batch_id"])
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    )
+    assert pairs2 == pairs1
+
+
+def test_bloom_prefilter_members_and_plan(spark):
+    from localitysensitivesketch_spark.functions.bloom import (
+        bloom_build,
+        might_contain,
+        optimal_bits,
+    )
+
+    assert optimal_bits(1000, 0.001) > 1000  # ~14.4 bits/key
+    keys = spark.range(2000).select(F.xxhash64("id").alias("key"))
+    bloom = bloom_build(keys, "key", expected_items=2000, fpp=0.001)
+    assert bloom is not None and len(bloom) > 1000
+    pred = might_contain(keys, "key", bloom)
+    assert pred is not None
+    # no false negatives, ever
+    assert keys.filter(pred).count() == 2000
+    # the predicate is a real filter in the plan (pushable ahead of joins)
+    others = spark.range(100_000, 110_000).select(F.xxhash64("id").alias("key"))
+    pred2 = might_contain(others, "key", bloom)
+    filtered = others.filter(pred2)
+    assert "might_contain" in filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    # false-positive rate near the configured 1e-3
+    assert filtered.count() < 100

@@ -100,6 +100,23 @@ def main() -> int:
     p = plan_of(pairs)
     check("band-join-no-cartesian", "CartesianProduct" not in p)
 
+    # 7. top_k plans TakeOrderedAndProject (per-partition heap + driver merge
+    # of k rows), never a global single-partition window sort
+    from localitysensitivesketch_spark.operators import analytics as A
+
+    counts = A.count_per_key(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id"
+    )
+    p = plan_of(A.top_k(counts, 10))
+    check("topk-take-ordered", "TakeOrderedAndProject" in p)
+
+    # 8. the scale percentile path uses the bounded-memory approx aggregate
+    p = plan_of(A.percentile_threshold(counts, 0.9, exact=False))
+    check(
+        "percentile-approx-path",
+        "percentile_approx" in p or "approx_percentile" in p,
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     spark.stop()
     return 1 if failures else 0
