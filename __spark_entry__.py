@@ -535,6 +535,165 @@ WHERE abs(coalesce(b.size_b, 0) - coalesce(a.size_a, 0)) > 0
 )
 
 
+_SF001_DIR = "/root/testdata/sf0.01"
+
+
+def _golden_sql(rows: list[tuple], cols: str) -> str | None:
+    """Inline golden rows as a VALUES relation (floats emitted full-
+    precision).  DuckDB then just serves them — the computation happened in
+    the independent pure-python oracle."""
+    if not rows:
+        return None
+    def fmt(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    vals = ", ".join("(" + ", ".join(fmt(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
+
+
+def _sketch_golden_oracles() -> dict[str, str]:
+    """Exact oracles for the seeded-hash sketch queries, via the pinned
+    pure-python shadow implementation (``localitysensitivesketch_spark/
+    oracle.py`` — loop-based plain-int, independent of the numpy kernels;
+    SURVEY §5.2 item 2).  The expected result set is computed from the
+    sf0.01 parquet (the driver's oracle scale, TESTDATA.md) and inlined as
+    SQL VALUES — the reference's shadow-map pattern (approximate path vs
+    exact shadow, compared bit-for-bit) promoted to the driver gate.
+    Failure to compute ⇒ the key is simply absent (rows-only fallback).
+    """
+    out: dict[str, str] = {}
+    try:
+        import duckdb
+
+        from localitysensitivesketch_spark import oracle as O
+
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{_SF001_DIR}/documents.parquet')"
+        ).fetchall()
+        cfg = CFG
+        sh = {d: O.oracle_shingles(t or "", cfg) for d, t in docs}
+        texts = dict(docs)
+        # --- minhash_band_candidates: pairs sharing ≥1 band key -----------
+        bands: dict[int, list[int]] = {
+            d: O.oracle_band_keys(O.oracle_minhash(s, cfg), cfg)
+            for d, s in sh.items()
+            if s  # n_shingles > 0 filter
+        }
+        by_key: dict[tuple[int, int], list[int]] = {}
+        for d, keys in bands.items():
+            for i, k in enumerate(keys):
+                by_key.setdefault((i, k), []).append(d)
+        cand = set()
+        for members in by_key.values():
+            members.sort()
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    cand.add((members[a], members[b]))
+        sql = _golden_sql(sorted(cand), "id1, id2")
+        if sql:
+            out["minhash_band_candidates"] = sql
+        # --- simhash_pairs: Hamming ≤ radius (pigeonhole-complete) --------
+        sims = {
+            d: O.oracle_simhash(t or "", cfg)
+            for d, t in docs
+            if (t or "").strip()  # n_tokens > 0 filter
+        }
+        ids = sorted(sims)
+        sim_rows = []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                h = bin(sims[ids[a]] ^ sims[ids[b]]).count("1")
+                if h <= cfg.hamming_radius:
+                    sim_rows.append((ids[a], ids[b], h))
+        sql = _golden_sql(sorted(sim_rows), "id1, id2, hamming")
+        if sql:
+            out["simhash_pairs"] = sql
+        # --- dedup_cluster_stats: full pipeline → cluster sizes -----------
+        edges = []
+        for i1, i2 in cand:
+            if texts[i1] == texts[i2]:
+                edges.append((i1, i2))
+                continue
+            s1, s2 = sh[i1], sh[i2]
+            u = len(s1 | s2)
+            j = len(s1 & s2) / u if u else (1.0 if not s1 and not s2 else 0.0)
+            if j >= cfg.jaccard_threshold:
+                edges.append((i1, i2))
+        labels = O.oracle_clusters([d for d, _ in docs], edges)
+        sizes: dict[int, int] = {}
+        for _, lab in labels.items():
+            sizes[lab] = sizes.get(lab, 0) + 1
+        stat_rows = sorted((lab, n, lab) for lab, n in sizes.items())
+        sql = _golden_sql(stat_rows, "cluster_id, size, canonical_doc_id")
+        if sql:
+            out["dedup_cluster_stats"] = sql
+    except Exception:
+        return out
+    return out
+
+
+def _ann_golden_oracle() -> dict[str, str]:
+    """Golden oracle for ``ann_topk_lsh``: replicate the hyperplane
+    bucketing (same seeded rng construction) and the JVM fold arithmetic
+    (sequential left-fold dot products, HALF_UP rounding) in plain Python
+    over the sf0.01 embeddings, then inline the expected top-k rows."""
+    out: dict[str, str] = {}
+    try:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import duckdb
+        import numpy as np
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet("
+            f"'{_SF001_DIR}/embeddings.parquet')"
+        ).fetchall()
+        vecs = {int(v): [float(x) for x in e] for v, e in rows}
+        dim, n_bits, k = 64, 12, 5
+        planes = np.random.default_rng(42).standard_normal((dim, n_bits))
+        mat = np.array([vecs[v] for v in sorted(vecs)], dtype=np.float64)
+        bits = (mat @ planes) > 0
+        weights = 1 << np.arange(n_bits)
+        bucket = {
+            v: int((bits[i].astype(np.uint64) * weights).sum())
+            for i, v in enumerate(sorted(vecs))
+        }
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def r6(x):
+            return float(
+                Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
+        norm = {v: math.sqrt(fold_dot(e, e)) for v, e in vecs.items()}
+        queries = [v for v in vecs if v < 10]
+        golden = []
+        for q in queries:
+            cands = [
+                (r6(fold_dot(vecs[q], vecs[n]) / (norm[q] * norm[n])), n)
+                for n in vecs
+                if n != q and bucket[n] == bucket[q]
+            ]
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (cos, n) in enumerate(cands[:k], start=1):
+                golden.append((q, n, cos, rank))
+        sql = _golden_sql(sorted(golden), "query_id, nbr_id, cosine, rank")
+        if sql:
+            out["ann_topk_lsh"] = sql
+    except Exception:
+        return out
+    return out
+
+
 def _value_cluster_oracle() -> str | None:
     """Exact oracle for ``value_cluster_stats``: replicate the training
     (same sorted sf0.01 values → same ``kmeans_pp_1d`` centers — the
@@ -788,4 +947,6 @@ def oracle_sql() -> dict[str, str]:
     vc = _value_cluster_oracle()
     if vc is not None:
         out["value_cluster_stats"] = vc
+    out.update(_sketch_golden_oracles())
+    out.update(_ann_golden_oracle())
     return out

@@ -75,11 +75,16 @@ def main() -> None:
     pipeline_sec = timings["dedup_cluster_stats"]
     docs_per_sec = round(n_docs / pipeline_sec, 1) if pipeline_sec else None
 
-    # recorded two-parallelism scaling evidence (tools/scaling_bench.py on a
-    # 400k-doc fixture corpus; see BENCH/BASELINE.md for methodology)
+    # recorded two-parallelism scaling evidence (tools/scaling_bench.py on
+    # fixture corpora; see BENCH/BASELINE.md for methodology).  The headline
+    # file is the newest recorded run; all runs are kept in BENCH/.
     scaling = None
-    evidence = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "scaling_4v16.json")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for name in ("scaling_2v8_800k_r2.json", "scaling_2v8_r2.json",
+                 "scaling_4v16_r2.json", "scaling_4v16.json"):
+        evidence = os.path.join(bench_dir, name)
+        if os.path.exists(evidence):
+            break
     if os.path.exists(evidence):
         with open(evidence) as f:
             ev = json.load(f)
@@ -94,6 +99,7 @@ def main() -> None:
             "signature_scaling_efficiency": ev["signature_scaling_efficiency"],
             "pipeline_scaling_efficiency": ev["pipeline_scaling_efficiency"],
             "n_docs": ev["levels"][next(iter(ev["levels"]))]["n_docs"],
+            "evidence_file": os.path.basename(evidence),
             "see": "BENCH/BASELINE.md",
         }
 

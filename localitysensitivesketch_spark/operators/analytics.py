@@ -253,25 +253,75 @@ def cluster_churn(
 
 
 def minhash_estimate_for_pairs(
-    pairs: DataFrame, signatures: DataFrame
+    pairs: DataFrame,
+    signatures: DataFrame,
+    estimator: str = "slots",
+    rows_per_band: int | None = None,
 ) -> DataFrame:
-    """Estimated Jaccard per pair = fraction of agreeing MinHash slots —
-    the sketch-query path (``LSSFingerprintAtomic.java:697-767``: read the
-    sketch's answer for a key) applied to pairs.  JVM higher-order array
-    ops; no Python."""
-    s1 = signatures.select(F.col("doc_id").alias("id1"), F.col("minhash").alias("m1"))
-    s2 = signatures.select(F.col("doc_id").alias("id2"), F.col("minhash").alias("m2"))
-    agree = F.size(
-        F.filter(
-            F.zip_with("m1", "m2", lambda x, y: x == y), lambda b: b
+    """Estimated Jaccard per pair from the MinHash sketch — the sketch-query
+    path applied to pairs, with the reference's four query strategies
+    (``LSSFingerprintAtomic.java``):
+
+    * ``"slots"`` — mean slot agreement over the whole signature: the
+      avg-over-matched-cells strategy (``queryV2``, ``:834-885``).
+    * ``"bands"`` — band-collision inversion: fraction of fully-agreeing
+      bands f, inverted through the S-curve ``Ĵ = f^(1/r)`` — the
+      alternative estimator path (``queryV3``, ``:770-827``).  Needs
+      ``rows_per_band`` (defaults to the pinned config's).
+    * ``"first_band"`` — membership answer from the first matching band:
+      1.0 if any band agrees else 0.0 (``queryV0`` first-match,
+      ``:893-927``).
+    * ``"closest"`` — of the slots and bands estimates, keep the one
+      closest to the exact value — the closest-to-truth strategy
+      (``:697-767``; reads the shadow map like the reference).  Requires a
+      ``jaccard`` column on ``pairs`` (from the verify stage).
+
+    All JVM higher-order array ops; no Python.
+    """
+    s1 = signatures.select(
+        F.col("doc_id").alias("id1"),
+        F.col("minhash").alias("m1"),
+        F.col("band_keys").alias("b1"),
+    )
+    s2 = signatures.select(
+        F.col("doc_id").alias("id2"),
+        F.col("minhash").alias("m2"),
+        F.col("band_keys").alias("b2"),
+    )
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+    slot_frac = (
+        F.size(F.filter(F.zip_with("m1", "m2", lambda x, y: x == y), lambda b: b))
+        / F.size("m1")
+    )
+    band_frac = (
+        F.size(F.filter(F.zip_with("b1", "b2", lambda x, y: x == y), lambda b: b))
+        / F.size("b1")
+    )
+    if estimator == "slots":
+        est = slot_frac
+    elif estimator == "bands":
+        if rows_per_band is None:
+            from ..config import SketchConfig
+
+            rows_per_band = SketchConfig().rows
+        est = F.pow(band_frac, F.lit(1.0 / rows_per_band))
+    elif estimator == "first_band":
+        est = F.when(band_frac > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    elif estimator == "closest":
+        if rows_per_band is None:
+            from ..config import SketchConfig
+
+            rows_per_band = SketchConfig().rows
+        band_est = F.pow(band_frac, F.lit(1.0 / rows_per_band))
+        est = F.when(
+            F.abs(slot_frac - F.col("jaccard")) <= F.abs(band_est - F.col("jaccard")),
+            slot_frac,
+        ).otherwise(band_est)
+    else:
+        raise ValueError(
+            f"unknown estimator {estimator!r} (slots|bands|first_band|closest)"
         )
-    )
-    return (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("est_jaccard", agree / F.size("m1"))
-        .drop("m1", "m2")
-    )
+    return joined.withColumn("est_jaccard", est).drop("m1", "m2", "b1", "b2")
 
 
 def sketch_accuracy_report(

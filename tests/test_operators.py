@@ -386,3 +386,39 @@ def test_ngram_prefix_filter_is_exact(spark):
         for r in ngram_jaccard_pairs(docs, threshold=t).collect()
     }
     assert got == expected and expected  # fixture must plant some pairs
+
+
+def test_minhash_estimator_variants(spark):
+    """The four reference query strategies over the same pair: slots ≈ J,
+    bands = f^(1/r), first_band ∈ {0,1}, closest picks the better of the
+    two given the exact value."""
+    from localitysensitivesketch_spark.operators.analytics import (
+        minhash_estimate_for_pairs,
+    )
+    from localitysensitivesketch_spark.operators.dedup import minhash_lsh_dedup
+
+    corpus = generate_corpus(n_docs=150, seed=13, dup_fraction=0.5)
+    docs = with_doc_id(corpus_to_spark(spark, corpus))
+    out = minhash_lsh_dedup(docs, CFG)
+    sigs, verified = out["signatures"], out["verified"]
+    pairs = verified.select("id1", "id2", "jaccard")
+    ests = {}
+    for est in ("slots", "bands", "first_band", "closest"):
+        rows = minhash_estimate_for_pairs(pairs, sigs, estimator=est).collect()
+        assert rows, est
+        ests[est] = {(r["id1"], r["id2"]): r["est_jaccard"] for r in rows}
+        assert all(0.0 <= v <= 1.0 for v in ests[est].values()), est
+    assert set(ests["first_band"].values()) <= {0.0, 1.0}
+    # every LSH candidate pair shares ≥... exact dups must estimate 1.0
+    exacts = {(r["id1"], r["id2"]) for r in verified.filter("exact_match").collect()}
+    for p in exacts:
+        assert ests["slots"][p] == 1.0 and ests["bands"][p] == 1.0
+    # closest is never worse than both single strategies
+    truth = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    for p, t in truth.items():
+        c, s, b = ests["closest"][p], ests["slots"][p], ests["bands"][p]
+        assert abs(c - t) <= min(abs(s - t), abs(b - t)) + 1e-9
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        minhash_estimate_for_pairs(pairs, sigs, estimator="nope").collect()
