@@ -66,26 +66,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: SketchConfig | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Token-set (1-gram) Jaccard pairs via an EXACT prefix-filter
-    set-similarity join (AllPairs, Bayardo/Ma/Srikant WWW'07).
+    """Token-set (1-gram) Jaccard pairs, exact (recall 1.0) under either
+    physical strategy -- chosen from data statistics like an AQE rule:
 
-    Candidate generation: order tokens by global document frequency
-    (rarest first); each doc exposes only its prefix of length
-    ``|A| - ceil(t*|A|) + 1``.  Prefix-filter lemma: J(A,B) >= t implies
-    the two prefixes share a token -- so joining on prefix tokens has
-    **recall 1.0** (unlike MinHash banding) while the join fans out on rare
-    tokens instead of the quadratic-in-block self-join.  Candidates then
-    get the size-ratio prune (J <= min/max of set sizes) and the exact
-    ``array_intersect/array_union`` Jaccard -- still SQL-oracle-checkable.
+    * ``"prefix"`` -- exact prefix-filter set-similarity join (AllPairs,
+      Bayardo/Ma/Srikant WWW'07): order tokens by global document
+      frequency (rarest first); each doc exposes only its prefix of
+      length ``|A| - ceil(t*|A|) + 1``.  Prefix-filter lemma: J(A,B) >= t
+      implies the two prefixes share a token, so the join on prefix
+      tokens loses nothing while fanning out on rare tokens.  Hot prefix
+      tokens ride the salted/width-capped ``pairs_by_key`` machinery
+      (drops logged in skew metrics).  The scale path for real text.
+    * ``"block"`` -- ratio-pruned quadratic join within ``block_cols``
+      groups.  Degenerate small-vocabulary corpora (token df comparable
+      to corpus size) make every prefix token a hot bucket; there the
+      bounded block join is cheaper.
+    * ``"auto"`` -- sample up to 2,000 docs and measure mean token
+      document-frequency as a fraction of docs; below 5% tokens
+      discriminate -> prefix, else block.  Scale callers should pass the
+      strategy explicitly to skip the sampling jobs.
 
-    ``block_cols`` optionally restricts pairs to equal block values (the
-    join key becomes (block, token)); with the default ``None`` the join is
-    global -- the scale-safe default, since prefix tokens are
-    high-cardinality keys.  Hot prefix tokens go through the same
-    salted/width-capped machinery as LSH bands (``pairs_by_key``), so a
-    boilerplate token cannot go quadratic silently (drops are logged in
-    the skew metrics; cap semantics match the rest of the engine).
+    Both strategies produce the identical exact pair set; only the plan
+    differs.  ``block_cols`` restricts pairs to equal block values under
+    either strategy (the prefix key becomes (block, token)).
     """
     cfg = cfg or SketchConfig()
     t = float(threshold)
@@ -102,38 +107,73 @@ def ngram_jaccard_pairs(
         ),
     ).withColumn("n", F.size("toks"))
 
-    tok = base.select("doc_id", "blk", "n", F.explode("toks").alias("tok"))
-    # global token document-frequency; the ordering only shapes performance
-    # (rarest-first minimizes bucket widths), never correctness
-    tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tok_df").asc(), F.col("tok").asc()
-    )
-    prefix = (
-        tok.join(tok_df, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-    )
-    keyed = prefix.select(
-        "doc_id", F.xxhash64(F.col("blk"), F.col("tok")).alias("key")
-    )
-    pairs, _ = pairs_by_key(keyed, cfg)
+    if strategy == "auto":
+        sample = base.limit(2000).select("doc_id", F.explode("toks").alias("tok"))
+        row = sample.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("tok").alias("vocab"),
+            F.countDistinct("doc_id").alias("docs"),
+        ).collect()[0]
+        dense = (
+            row["docs"] > 0
+            and row["vocab"] > 0
+            and (row["rows"] / row["vocab"]) / row["docs"] > 0.05
+        )
+        strategy = "block" if dense else "prefix"
 
-    a = base.select(
-        F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
-        F.col("n").alias("n1"),
-    )
-    b = base.select(
-        F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
-        F.col("n").alias("n2"),
-    )
+    if strategy == "prefix":
+        tok = base.select("doc_id", "blk", "n", F.explode("toks").alias("tok"))
+        # global token document-frequency; the ordering only shapes
+        # performance (rarest-first minimizes bucket widths), never
+        # correctness
+        tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tok_df").asc(), F.col("tok").asc()
+        )
+        prefix = (
+            tok.join(tok_df, "tok")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        )
+        keyed = prefix.select(
+            "doc_id", F.xxhash64(F.col("blk"), F.col("tok")).alias("key")
+        )
+        pairs, _ = pairs_by_key(keyed, cfg)
+        a = base.select(
+            F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
+            F.col("n").alias("n1"),
+        )
+        b = base.select(
+            F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
+            F.col("n").alias("n2"),
+        )
+        joined = (
+            pairs.join(a, "id1")
+            .join(b, "id2")
+            .where((F.col("n1") >= F.col("n2") * t) & (F.col("n2") >= F.col("n1") * t))
+        )
+    elif strategy == "block":
+        a = base.select(
+            F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
+            F.col("n").alias("n1"), "blk",
+        )
+        b = base.select(
+            F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
+            F.col("n").alias("n2"), "blk",
+        )
+        # size-ratio prune in the join condition: J <= min/max of distinct
+        # set sizes, so pairs that cannot reach the threshold never run the
+        # expensive array_intersect
+        joined = a.join(b, "blk").where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("n1") >= F.col("n2") * t)
+            & (F.col("n2") >= F.col("n1") * t)
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (auto|prefix|block)")
+
     return (
-        pairs.join(a, "id1")
-        .join(b, "id2")
-        # size-ratio prune: the expensive array_intersect runs only on pairs
-        # that can still reach the threshold
-        .where((F.col("n1") >= F.col("n2") * t) & (F.col("n2") >= F.col("n1") * t))
-        .select(
+        joined.select(
             "id1",
             "id2",
             F.round(

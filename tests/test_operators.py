@@ -381,11 +381,12 @@ def test_ngram_prefix_filter_is_exact(spark):
         union = len(toks[a] | toks[b])
         if union and round(inter / union, 6) >= t:
             expected.add((a, b))
-    got = {
-        (r["id1"], r["id2"])
-        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
-    }
-    assert got == expected and expected  # fixture must plant some pairs
+    for strategy in ("prefix", "block", "auto"):
+        got = {
+            (r["id1"], r["id2"])
+            for r in ngram_jaccard_pairs(docs, threshold=t, strategy=strategy).collect()
+        }
+        assert got == expected and expected, strategy  # both strategies exact
 
 
 def test_minhash_estimator_variants(spark):
