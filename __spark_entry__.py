@@ -346,14 +346,16 @@ def _q_cluster_churn(spark, sf_dir):
 
 def _q_sketch_accuracy(spark, sf_dir):
     """Reference-style online accuracy: MinHash estimate vs exact shadow
-    (QueryLSSFingerFlowApps.java:333-459 analogue)."""
+    (QueryLSSFingerFlowApps.java:333-459 analogue).  exact=True pins the
+    interpolated percentiles for oracle parity (the operator default is
+    the bounded-memory approx path)."""
     from localitysensitivesketch_spark.operators.analytics import (
         sketch_accuracy_report,
     )
 
     out = D.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), CFG)
     return sketch_accuracy_report(
-        out["verified"], out["signatures"], CFG.jaccard_threshold
+        out["verified"], out["signatures"], CFG.jaccard_threshold, exact=True
     )
 
 
@@ -577,10 +579,9 @@ def _sketch_golden_oracles() -> dict[str, str]:
         sh = {d: O.oracle_shingles(t or "", cfg) for d, t in docs}
         texts = dict(docs)
         # --- minhash_band_candidates: pairs sharing ≥1 band key -----------
+        sigs = {d: O.oracle_minhash(s, cfg) for d, s in sh.items() if s}
         bands: dict[int, list[int]] = {
-            d: O.oracle_band_keys(O.oracle_minhash(s, cfg), cfg)
-            for d, s in sh.items()
-            if s  # n_shingles > 0 filter
+            d: O.oracle_band_keys(sig, cfg) for d, sig in sigs.items()
         }
         by_key: dict[tuple[int, int], list[int]] = {}
         for d, keys in bands.items():
@@ -630,6 +631,136 @@ def _sketch_golden_oracles() -> dict[str, str]:
         sql = _golden_sql(stat_rows, "cluster_id, size, canonical_doc_id")
         if sql:
             out["dedup_cluster_stats"] = sql
+        # --- sketch_accuracy: (est, exact) per verified pair, aggregated
+        # in SQL exactly like the report (quantile_cont ≡ Spark's exact
+        # interpolated percentile; f1 from unrounded precision/recall) ----
+        t = cfg.jaccard_threshold
+        ej_rows = []
+        for i1, i2 in sorted(cand):
+            s1, s2 = sh[i1], sh[i2]
+            n1, n2 = len(s1), len(s2)
+            if not (n1 >= n2 * t and n2 >= n1 * t):
+                continue  # verify's shingle-count ratio prune
+            if texts[i1] == texts[i2]:
+                j = 1.0
+            else:
+                u = len(s1 | s2)
+                j = len(s1 & s2) / u if u else (1.0 if not s1 and not s2 else 0.0)
+            if j <= 0:
+                continue  # report filters jaccard > 0
+            agree = sum(a == b for a, b in zip(sigs[i1], sigs[i2]))
+            ej_rows.append((agree / cfg.n_hashes, j))
+        sql = _golden_sql(ej_rows, "est, jac")
+        if sql:
+            out["sketch_accuracy"] = f"""
+WITH pairs AS ({sql}),
+err AS (SELECT abs(est - jac) / jac AS rel_err FROM pairs),
+stats AS (
+  SELECT count(*) AS n_pairs,
+         round(avg(rel_err), 6) AS mean_err,
+         round(quantile_cont(rel_err, 0.5), 6) AS p50_err,
+         round(quantile_cont(rel_err, 0.9), 6) AS p90_err,
+         round(quantile_cont(rel_err, 0.99), 6) AS p99_err,
+         round(max(rel_err), 6) AS max_err
+  FROM err
+), f AS (
+  SELECT count(*) FILTER (WHERE est >= {t!r} AND jac >= {t!r}) AS ni,
+         count(*) FILTER (WHERE est >= {t!r}) AS ne,
+         count(*) FILTER (WHERE jac >= {t!r}) AS nt
+  FROM pairs
+), pr AS (
+  SELECT CASE WHEN ne > 0 THEN ni * 1.0 / ne ELSE 0.0 END AS prec,
+         CASE WHEN nt > 0 THEN ni * 1.0 / nt ELSE 0.0 END AS rec
+  FROM f
+)
+SELECT stats.*, round(prec, 6) AS detect_precision,
+       round(rec, 6) AS detect_recall,
+       round(CASE WHEN prec + rec > 0
+                  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6)
+         AS detect_f1
+FROM stats, pr
+"""
+    except Exception:
+        return out
+    return out
+
+
+def _winnow_oracle_fps(tok_hashes: list[int], sa_min_len: int):
+    """Pure-python replication of the winnowing fingerprint selection
+    (rolling Horner hash over L-token windows + per-window argmin, first
+    min on ties) — independent of the numpy kernels, same pinned spec."""
+    from localitysensitivesketch_spark import oracle as O
+    from localitysensitivesketch_spark.operators.substring import _winnow_params
+
+    L, w = _winnow_params(sa_min_len)
+    n = len(tok_hashes)
+    if n < L:
+        return L, []
+    m = n - L + 1
+    M = (1 << 64) - 1
+    P = O._POLY
+    wh = []
+    for i in range(m):
+        h = tok_hashes[i]
+        for j in range(1, L):
+            h = (h * P + tok_hashes[i + j]) & M
+        wh.append(O._splitmix64(h))
+    if m <= w:
+        pos = [min(range(m), key=lambda i: wh[i])]
+    else:
+        sel = set()
+        for s in range(m - w + 1):
+            sel.add(s + min(range(w), key=lambda i: wh[s + i]))
+        pos = sorted(sel)
+    return L, [(p, wh[p]) for p in pos]
+
+
+def _substring_golden_oracle() -> dict[str, str]:
+    """Golden oracle for ``substring_dup_pairs``: independent winnowing
+    detector over the sf0.01 documents with the contract query's config
+    (sa_min_len=24), replicating the width-cap/diagonal-extent pair logic
+    of ``operators/substring.py`` in plain python."""
+    out: dict[str, str] = {}
+    try:
+        import duckdb
+
+        from localitysensitivesketch_spark import oracle as O
+        from localitysensitivesketch_spark.config import SketchConfig
+        from localitysensitivesketch_spark.functions.text import tokenize
+
+        cfg = SketchConfig(sa_min_len=24)
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{_SF001_DIR}/documents.parquet')"
+        ).fetchall()
+        by_fp: dict[int, list[tuple[int, int]]] = {}
+        L = None
+        for d, text in docs:
+            th = [O._token_hash(t) for t in tokenize(text or "", cfg.normalization)]
+            L, fps = _winnow_oracle_fps(th, cfg.sa_min_len)
+            for pos, fp in fps:
+                by_fp.setdefault(fp, []).append((d, pos))
+        # width cap (dropped buckets) mirrors substring_pairs
+        diag: dict[tuple[int, int, int], list[int]] = {}
+        for fp, members in by_fp.items():
+            if len(members) > cfg.band_width_cap:
+                continue
+            for a in range(len(members)):
+                for b in range(len(members)):
+                    d1, p1 = members[a]
+                    d2, p2 = members[b]
+                    if d1 < d2:
+                        diag.setdefault((d1, d2, p1 - p2), []).append(p1)
+        pairs: dict[tuple[int, int], tuple[int, int]] = {}
+        for (d1, d2, _), p1s in diag.items():
+            nfp, ext = pairs.get((d1, d2), (0, 0))
+            pairs[(d1, d2)] = (
+                nfp + len(p1s),
+                max(ext, max(p1s) - min(p1s) + L),
+            )
+        rows = sorted((d1, d2, n, e) for (d1, d2), (n, e) in pairs.items())
+        sql = _golden_sql(rows, "id1, id2, n_shared_fps, overlap_est")
+        if sql:
+            out["substring_dup_pairs"] = sql
     except Exception:
         return out
     return out
@@ -949,4 +1080,5 @@ def oracle_sql() -> dict[str, str]:
         out["value_cluster_stats"] = vc
     out.update(_sketch_golden_oracles())
     out.update(_ann_golden_oracle())
+    out.update(_substring_golden_oracle())
     return out
