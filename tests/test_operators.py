@@ -423,3 +423,24 @@ def test_minhash_estimator_variants(spark):
 
     with _pt.raises(ValueError):
         minhash_estimate_for_pairs(pairs, sigs, estimator="nope").collect()
+
+
+def test_driver_contract_oracle_coverage():
+    """Every queries() entry must have an oracle_sql() entry that DuckDB
+    can parse (37/37 hash-checked — a dropped key silently regresses the
+    correctness gate to rows-only)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    qs, os_ = set(E.queries()), E.oracle_sql()
+    assert set(os_) == qs, qs ^ set(os_)
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings", "orders", "customer",
+              "nation", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    for name, sql in os_.items():
+        con.execute(f"SELECT * FROM ({sql}) LIMIT 0")  # parse/bind only
