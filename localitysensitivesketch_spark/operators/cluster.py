@@ -26,6 +26,12 @@ isolated vertices (the vast majority of a web corpus: non-duplicates)
 never enter the loop joins and are labeled with themselves in one final
 left join.  Labels are initialized to min(v, min neighbor), which IS the
 first propagation round — one fewer iteration (2 Spark jobs) per run.
+
+Durability: ``localCheckpoint`` stores to executor-local disk — lost on
+executor death, which merely recomputes here (single-job lineage).  On a
+long multi-executor run, route per-round labels through the
+CheckpointStore (``plans/pipeline.py``) or ``sc.setCheckpointDir`` +
+reliable ``checkpoint()`` instead; the loop structure is unchanged.
 """
 
 from __future__ import annotations
