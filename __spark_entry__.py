@@ -61,6 +61,16 @@ def _q_dedup_exact_groups(spark, sf_dir):
     return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_group_stats(spark, sf_dir):
+    """Non-vacuous exercise of the exact-groups aggregate path: the sf0.01
+    corpus has 500/500 distinct texts, so the full-key query returns 0 rows
+    (a vacuously-green oracle row) — grouping on a 1-hex-char md5 prefix
+    provably yields non-empty groups through the identical plan shape."""
+    return D.exact_dup_groups(
+        _t(spark, sf_dir, "documents"), key_prefix_len=1
+    )
+
+
 def _q_dedup_rate_by_source(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
@@ -93,16 +103,20 @@ def _q_language_id(spark, sf_dir):
 
 
 def _q_ngram_jaccard_pairs(spark, sf_dir):
+    # strategy pinned: the driver testdata has a ~31-token vocabulary, so
+    # "auto" always resolves to block here — pinning skips auto's sampling
+    # job while leaving the output identical (both strategies are exact)
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8, block_cols=("lang",)
+        _t(spark, sf_dir, "documents"), threshold=0.8, block_cols=("lang",),
+        strategy="block",
     )
 
 
 def _q_cluster_token_cc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    edges = D.ngram_jaccard_pairs(docs, threshold=0.8, block_cols=("lang",)).select(
-        "id1", "id2"
-    )
+    edges = D.ngram_jaccard_pairs(
+        docs, threshold=0.8, block_cols=("lang",), strategy="block"
+    ).select("id1", "id2")
     return connected_components(docs.select("doc_id"), edges)
 
 
@@ -327,20 +341,34 @@ def _q_dedup_cluster_stats(spark, sf_dir):
 def _q_cluster_churn(spark, sf_dir):
     """Cluster churn between snapshots: the 'en' subset vs the full corpus
     (W3 heavy change at cluster granularity).  Snapshots use the token-CC
-    clustering so the whole query has an exact recursive-CTE oracle."""
+    clustering so the whole query has an exact recursive-CTE oracle.
+
+    The full-corpus Jaccard pairs are computed ONCE: blocking on lang means
+    every pair is within one language, so the 'en'-snapshot edge set is
+    exactly the full edge set restricted to lang='en' endpoints — a filter,
+    not a second O(n²/blocks) join."""
     from localitysensitivesketch_spark.operators.analytics import cluster_churn
 
     docs = _t(spark, sf_dir, "documents")
+    pairs_full = (
+        D.ngram_jaccard_pairs(
+            docs, threshold=0.8, block_cols=("lang",), strategy="block"
+        )
+        .select("id1", "id2")
+        .localCheckpoint(eager=False)
+    )
+    lang1 = docs.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))
+    pairs_en = (
+        pairs_full.join(lang1, "id1").filter(F.col("lang1") == "en")
+        .select("id1", "id2")
+    )
 
-    def snap(d):
-        edges = D.ngram_jaccard_pairs(
-            d, threshold=0.8, block_cols=("lang",)
-        ).select("id1", "id2")
-        cc = connected_components(d.select("doc_id"), edges)
+    def snap(vertices, edges):
+        cc = connected_components(vertices.select("doc_id"), edges)
         return cc.groupBy("cluster_id").agg(F.count("*").alias("size"))
 
-    snap_a = snap(docs.filter(F.col("lang") == "en"))
-    snap_b = snap(docs)
+    snap_a = snap(docs.filter(F.col("lang") == "en"), pairs_en)
+    snap_b = snap(docs, pairs_full)
     return cluster_churn(snap_a, snap_b)
 
 
@@ -367,6 +395,7 @@ def _q_ann_topk_lsh(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_group_stats": _q_dedup_group_stats,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "sum_per_key_user": _q_sum_per_key_user,
         "value_cluster_stats": _q_value_cluster_stats,
@@ -767,17 +796,20 @@ def _substring_golden_oracle() -> dict[str, str]:
 
 
 def _ann_golden_oracle() -> dict[str, str]:
-    """Golden oracle for ``ann_topk_lsh``: replicate the hyperplane
-    bucketing (same seeded rng construction) and the JVM fold arithmetic
-    (sequential left-fold dot products, HALF_UP rounding) in plain Python
-    over the sf0.01 embeddings, then inline the expected top-k rows."""
+    """Golden oracle for ``ann_topk_lsh``: fully independent plain-python
+    replication — hyperplanes from the splitmix64 spec
+    (``oracle.oracle_hyperplanes``, no numpy RNG, no production import),
+    sign-bit buckets via sequential fold dot products, and the JVM fold
+    arithmetic (sequential left-fold, HALF_UP rounding) — over the sf0.01
+    embeddings, then inline the expected top-k rows."""
     out: dict[str, str] = {}
     try:
         import math
         from decimal import ROUND_HALF_UP, Decimal
 
         import duckdb
-        import numpy as np
+
+        from localitysensitivesketch_spark import oracle as O
 
         rows = duckdb.sql(
             f"SELECT vec_id, embedding FROM read_parquet("
@@ -785,13 +817,9 @@ def _ann_golden_oracle() -> dict[str, str]:
         ).fetchall()
         vecs = {int(v): [float(x) for x in e] for v, e in rows}
         dim, n_bits, k = 64, 12, 5
-        planes = np.random.default_rng(42).standard_normal((dim, n_bits))
-        mat = np.array([vecs[v] for v in sorted(vecs)], dtype=np.float64)
-        bits = (mat @ planes) > 0
-        weights = 1 << np.arange(n_bits)
+        planes = O.oracle_hyperplanes(dim, n_bits, 42)
         bucket = {
-            v: int((bits[i].astype(np.uint64) * weights).sum())
-            for i, v in enumerate(sorted(vecs))
+            v: O.oracle_hyperplane_bucket(vecs[v], planes) for v in vecs
         }
 
         def fold_dot(a, b):
@@ -826,24 +854,26 @@ def _ann_golden_oracle() -> dict[str, str]:
 
 
 def _value_cluster_oracle() -> str | None:
-    """Exact oracle for ``value_cluster_stats``: replicate the training
-    (same sorted sf0.01 values → same ``kmeans_pp_1d`` centers — the
-    trainer canonicalizes its sample by sorting, so centers depend only on
-    the value multiset), then inline the centers as literals into an
-    argmin CASE chain (first-match = lowest index, matching
+    """Exact oracle for ``value_cluster_stats``: train centers with the
+    INDEPENDENT pure-python shadow (``oracle.oracle_kmeans_1d`` — loop
+    based, no numpy, no shared code with the production trainer; fsum
+    means make both bit-identical), then inline the centers as literals
+    into an argmin CASE chain (first-match = lowest index, matching
     ``array_position``).  The driver runs oracles at sf0.01 (TESTDATA.md).
     """
     try:
         import duckdb
-        import numpy as np
 
-        from localitysensitivesketch_spark.operators.valuecluster import kmeans_pp_1d
+        from localitysensitivesketch_spark.oracle import oracle_kmeans_1d
 
-        vals = duckdb.sql(
-            "SELECT value FROM read_parquet("
-            "'/root/testdata/sf0.01/events.parquet') WHERE value IS NOT NULL"
-        ).fetchnumpy()["value"]
-        centers = kmeans_pp_1d(np.sort(np.asarray(vals, dtype=np.float64)))
+        vals = [
+            float(r[0])
+            for r in duckdb.sql(
+                "SELECT value FROM read_parquet("
+                "'/root/testdata/sf0.01/events.parquet') WHERE value IS NOT NULL"
+            ).fetchall()
+        ]
+        centers = oracle_kmeans_1d(sorted(vals))
     except Exception:
         return None  # driver then records the weaker rows-only check
     cs = [float(c) for c in centers]
@@ -910,6 +940,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, count(*) AS group_size,
                    min(doc_id) AS canonical_doc_id
             FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+        """,
+        "dedup_group_stats": """
+            SELECT substr(md5(text), 1, 1) AS text_md5, count(*) AS group_size,
+                   min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY substr(md5(text), 1, 1)
+            HAVING count(*) >= 2
         """,
         "dedup_exact_keep": """
             SELECT * FROM documents

@@ -29,12 +29,51 @@ the pre-filter (it is an optimization, never a correctness dependency).
 
 from __future__ import annotations
 
+import logging
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
 _LN2_SQ = math.log(2.0) ** 2
 MAX_BITS = 1 << 27  # 16 MiB filter cap (mirrors Spark's runtime-filter cap)
+
+_log = logging.getLogger(__name__)
+_warned: set[str] = set()
+
+
+def _warn_once(site: str, exc: Exception) -> None:
+    """A real failure (driver OOM, analysis error, moved internals) must not
+    silently downgrade every caller to the unfiltered join forever — log the
+    first occurrence per site so operators can tell the pre-filter is dead."""
+    if site not in _warned:
+        _warned.add(site)
+        _log.warning(
+            "bloom pre-filter disabled (%s): %s: %s — falling back to the "
+            "unfiltered join; this optimization will stay off for this "
+            "process", site, type(exc).__name__, exc,
+        )
+
+
+def bloom_supported(spark: SparkSession) -> bool:
+    """Probe (construct, never execute) the internal Catalyst expressions so
+    callers can skip sizing work (e.g. a ``count()`` job) on Spark builds
+    where the pre-filter cannot be built at all."""
+    try:
+        from pyspark.sql.classic.column import Column as CCol  # noqa: F401
+
+        df = spark.range(1)
+        jvm, eu = _expr_utils(df)
+        parser = df.sparkSession._jsparkSession.sessionState().sqlParser()
+        jvm.org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            df["id"]._jc.node().expression(),
+            parser.parseExpression("1L"),
+            parser.parseExpression("64L"),
+        )
+        jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+        return True
+    except Exception as exc:  # noqa: BLE001
+        _warn_once("bloom_supported", exc)
+        return False
 
 
 def optimal_bits(expected_items: int, fpp: float) -> int:
@@ -73,7 +112,8 @@ def bloom_build(
         out = df.agg(CCol(eu.column(agg.toAggregateExpression())).alias("bf"))
         raw = out.collect()[0]["bf"]
         return bytes(raw) if raw is not None else None
-    except Exception:  # noqa: BLE001 — optional optimization, never fatal
+    except Exception as exc:  # noqa: BLE001 — optional optimization, never fatal
+        _warn_once("bloom_build", exc)
         return None
 
 
@@ -92,5 +132,6 @@ def might_contain(df: DataFrame, key_col: str, bloom: bytes) -> Column | None:
             lit, df[key_col]._jc.node().expression()
         )
         return CCol(eu.column(mc))
-    except Exception:  # noqa: BLE001
+    except Exception as exc:  # noqa: BLE001
+        _warn_once("might_contain", exc)
         return None

@@ -193,7 +193,13 @@ def f1_score(estimated: DataFrame, truth: DataFrame, key_col: str = "key") -> Da
 
     Fully declarative — one plan, no eager driver-side ``.count()`` actions:
     the three 1-row count aggregates are broadcast-crossJoined and the
-    precision/recall/F1 arithmetic runs as expressions."""
+    precision/recall/F1 arithmetic runs as expressions.
+
+    Empty-set convention: an empty estimated (or truth) set yields
+    precision (recall) **0.0**, not 1.0 — callers that prefer the
+    vacuous-truth convention (reference windows with zero heavy keys) must
+    special-case upstream.  This also governs ``sketch_accuracy_report``'s
+    detect_* columns and matches its golden oracle."""
     e = estimated.select(F.col(key_col).alias("key")).distinct()
     t = truth.select(F.col(key_col).alias("key")).distinct()
     inter = e.join(t, "key", "inner").agg(F.count("*").alias("n_intersect"))

@@ -37,25 +37,45 @@ def pairs_by_key(
     id_col: str = "doc_id",
     key_col: str = "key",
     hot_threshold: int = HOT_THRESHOLD,
+    payload_cols: tuple[str, ...] = (),
+    drop_over_cap: bool = True,
+    distinct: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """(id, key) → distinct candidate pairs (id1 < id2) + skew metrics.
+    """(id, key) → candidate pairs (id1 < id2) + skew metrics.
 
     Returns (pairs, bucket_metrics) where bucket_metrics has one row per
-    key-width class: kept / salted / dropped with bucket counts and widths.
-    """
-    keyed = keyed.select(F.col(id_col).alias("doc_id"), F.col(key_col).alias("key"))
+    key-width class: kept / salted / dropped (or salted_wide) with bucket
+    counts and widths.
 
-    # widths feeds THREE consumers (dropped/hot broadcasts + metrics); the
-    # lazy localCheckpoint materializes the exploded-key aggregation once
-    # instead of re-running it per broadcast build
+    * ``payload_cols`` ride along from both sides as ``{col}_1``/``{col}_2``
+      (e.g. token positions for the PPJoin positional filter).  With
+      payloads, one output row per shared key occurrence — pass
+      ``distinct=False`` and aggregate in the caller.
+    * ``drop_over_cap=False`` disables the drop tier: over-cap buckets take
+      the salted path instead (classed ``salted_wide`` in the metrics).
+      REQUIRED by callers whose exactness depends on losslessness (the
+      prefix-filter Jaccard join); pair production is inherently quadratic
+      in bucket width there — salting only spreads it, so such callers must
+      bound widths by construction (prefix tokens are globally rare) or
+      accept the cost.
+    """
+    keyed = keyed.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in payload_cols],
+    )
+
+    # widths feeds the special-key broadcast + metrics; the lazy
+    # localCheckpoint materializes the exploded-key aggregation once
     widths = (
         keyed.groupBy("key")
         .agg(F.count("*").alias("width"))
         .localCheckpoint(eager=False)
     )
 
+    over_cap_class = "dropped" if drop_over_cap else "salted_wide"
     metrics = widths.select(
-        F.when(F.col("width") > cfg.band_width_cap, F.lit("dropped"))
+        F.when(F.col("width") > cfg.band_width_cap, F.lit(over_cap_class))
         .when(F.col("width") > hot_threshold, F.lit("salted"))
         .otherwise(F.lit("kept"))
         .alias("bucket_class"),
@@ -66,26 +86,33 @@ def pairs_by_key(
         F.max("width").alias("max_width"),
     )
 
-    # classification is tiny (distinct keys with width>threshold) → the
-    # dropped/hot key sets are broadcast; the big keyed relation is only
-    # ever filtered, never joined against the full widths table (measured:
-    # a width-attach shuffle join of keyed⋈widths costs ~1.5× the three
-    # broadcast builds at 400 k docs — the broadcast sets are near-empty in
-    # healthy corpora, the widths table never is)
-    dropped = widths.filter(F.col("width") > cfg.band_width_cap)
-    hot = widths.filter(
-        (F.col("width") > hot_threshold) & (F.col("width") <= cfg.band_width_cap)
+    # ONE broadcast build: the (tiny) set of keys wider than hot_threshold,
+    # tagged over_cap.  A left join against it classifies every keyed row in
+    # a single pass — null → normal, false → salted, true → dropped or
+    # salted, per drop_over_cap.  (A width-attach shuffle join of
+    # keyed⋈widths costs ~1.5× this broadcast at 400 k docs — the special
+    # set is near-empty in healthy corpora, the widths table never is.)
+    special = widths.filter(F.col("width") > hot_threshold).select(
+        "key", (F.col("width") > cfg.band_width_cap).alias("over_cap")
     )
-    ok = keyed.join(F.broadcast(dropped.select("key")), "key", "left_anti")
-    normal = ok.join(F.broadcast(hot.select("key")), "key", "left_anti")
-    hot_rows = ok.join(F.broadcast(hot.select("key")), "key", "left_semi")
+    marked = keyed.join(F.broadcast(special), "key", "left")
+    normal = marked.filter(F.col("over_cap").isNull()).drop("over_cap")
+    if drop_over_cap:
+        hot_rows = marked.filter(F.col("over_cap") == F.lit(False)).drop("over_cap")
+    else:
+        hot_rows = marked.filter(F.col("over_cap").isNotNull()).drop("over_cap")
+
+    def _sel(side: str, n: int):
+        return [F.col(f"{side}.doc_id").alias(f"id{n}")] + [
+            F.col(f"{side}.{c}").alias(f"{c}_{n}") for c in payload_cols
+        ]
 
     a = normal.alias("a")
     b = normal.alias("b")
     pairs_normal = (
         a.join(b, F.col("a.key") == F.col("b.key"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .select(*_sel("a", 1), *_sel("b", 2))
     )
 
     # salted self-join for hot keys: left gets one salt, right is replicated
@@ -104,10 +131,12 @@ def pairs_by_key(
             & (F.col("hl.salt") == F.col("hr.salt")),
         )
         .filter(F.col("hl.doc_id") < F.col("hr.doc_id"))
-        .select(F.col("hl.doc_id").alias("id1"), F.col("hr.doc_id").alias("id2"))
+        .select(*_sel("hl", 1), *_sel("hr", 2))
     )
 
-    pairs = pairs_normal.unionByName(pairs_hot).distinct()
+    pairs = pairs_normal.unionByName(pairs_hot)
+    if distinct:
+        pairs = pairs.distinct()
     return pairs, metrics
 
 

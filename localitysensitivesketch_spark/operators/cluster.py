@@ -27,17 +27,29 @@ never enter the loop joins and are labeled with themselves in one final
 left join.  Labels are initialized to min(v, min neighbor), which IS the
 first propagation round — one fewer iteration (2 Spark jobs) per run.
 
-Durability: ``localCheckpoint`` stores to executor-local disk — lost on
-executor death, which merely recomputes here (single-job lineage).  On a
-long multi-executor run, route per-round labels through the
-CheckpointStore (``plans/pipeline.py``) or ``sc.setCheckpointDir`` +
-reliable ``checkpoint()`` instead; the loop structure is unchanged.
+Durability: ``localCheckpoint`` (the default) stores to executor-local
+disk — lost on executor death, which merely recomputes here (single-job
+lineage).  On a long multi-executor run, pass ``checkpoint_dir`` to route
+per-round labels through ``sc.setCheckpointDir`` + reliable
+``checkpoint()`` (HDFS/object store) instead; the loop structure is
+unchanged and the labels are identical.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ckpt_fn(df_any: DataFrame, checkpoint_dir: str | None):
+    """Round-truncation strategy: reliable ``checkpoint()`` when a
+    directory is given (set once on the SparkContext), else
+    ``localCheckpoint``."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = df_any.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
 
 
 def _sym_edges(edges: DataFrame) -> DataFrame:
@@ -58,19 +70,25 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 50,
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """vertices(id), edges(id1, id2) → (doc_id, cluster_id).
 
     cluster_id = min doc_id reachable in the undirected graph.  Isolated
-    vertices label themselves (outside the iteration).
+    vertices label themselves (outside the iteration).  ``checkpoint_dir``
+    switches round truncation from executor-local ``localCheckpoint`` to
+    reliable ``checkpoint()`` (survives executor loss on a cluster).
     """
     if algorithm == "star":
-        return connected_components_star(vertices, edges, id_col, max_iter)
+        return connected_components_star(
+            vertices, edges, id_col, max_iter, checkpoint_dir
+        )
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
 
+    ck = _ckpt_fn(edges, checkpoint_dir)
     verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
-    sym = _sym_edges(edges).localCheckpoint(eager=True)
+    sym = ck(_sym_edges(edges))
 
     # init = min(v, min neighbor): round 1 of propagation, for free
     labels = (
@@ -80,8 +98,8 @@ def connected_components(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("nbr")).alias("label"),
         )
-        .localCheckpoint(eager=True)
     )
+    labels = ck(labels)
 
     for it in range(max_iter):
         nbr_min = (
@@ -98,7 +116,8 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("old_label"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = ck(new_labels)
         labels = new_labels.select("id", "label")
         # the init already did round 1, and near-clique duplicate graphs
         # always need ≥1 more — the convergence-count job (one extra Spark
@@ -119,6 +138,7 @@ def connected_components_star(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -134,14 +154,14 @@ def connected_components_star(
     reimplemented from the paper).  Fixpoint = edge set unchanged; at
     fixpoint every edge is (component_min, member).
     """
+    ck = _ckpt_fn(edges, checkpoint_dir)
     verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
-    E = (
+    E = ck(
         edges.select(
             F.least("id1", "id2").alias("lo"), F.greatest("id1", "id2").alias("hi")
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def closed_min(sym: DataFrame) -> DataFrame:
@@ -165,8 +185,8 @@ def connected_components_star(
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        ls = ck(ls)
         # small-star
         sym2 = symmetrize(ls)
         m2 = closed_min(sym2)
@@ -177,8 +197,8 @@ def connected_components_star(
             .unionByName(m2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        ss = ck(ss)
         # m ≤ v and m ≤ u by construction, so (lo, hi) stays canonical
         converged = (
             ss.count() == E.count() and ss.exceptAll(E).count() == 0

@@ -28,13 +28,23 @@ from .verify import duplicate_edges, verify_pairs
 
 
 def exact_dup_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_prefix_len: int = 32,
 ) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per duplicated text
     (group size ≥ 2) with the canonical (min) doc id.  At 100 TB this is a
-    single hash-partitioned aggregation on md5 — no pairwise work at all."""
+    single hash-partitioned aggregation on md5 — no pairwise work at all.
+
+    ``key_prefix_len < 32`` truncates the md5 key — coarser bucketing that
+    exercises the identical aggregate path non-vacuously on corpora with
+    no exact duplicates (contract-query use; production keeps 32)."""
+    key = F.md5(F.col(text_col))
+    if key_prefix_len < 32:
+        key = F.substring(key, 1, key_prefix_len)
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_md5"))
+        df.select(F.col(id_col).alias("doc_id"), key.alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.count("*").alias("group_size"),
@@ -72,13 +82,17 @@ def ngram_jaccard_pairs(
     physical strategy -- chosen from data statistics like an AQE rule:
 
     * ``"prefix"`` -- exact prefix-filter set-similarity join (AllPairs,
-      Bayardo/Ma/Srikant WWW'07): order tokens by global document
+      Bayardo/Ma/Srikant WWW'07) with the PPJoin positional filter
+      (Xiao/Wang/Lin/Yu WWW'08): order tokens by global document
       frequency (rarest first); each doc exposes only its prefix of
       length ``|A| - ceil(t*|A|) + 1``.  Prefix-filter lemma: J(A,B) >= t
       implies the two prefixes share a token, so the join on prefix
       tokens loses nothing while fanning out on rare tokens.  Hot prefix
-      tokens ride the salted/width-capped ``pairs_by_key`` machinery
-      (drops logged in skew metrics).  The scale path for real text.
+      tokens ride the salted ``pairs_by_key`` machinery with the drop
+      tier DISABLED (``drop_over_cap=False``) -- no bucket is ever
+      dropped, so the exactness claim holds unconditionally (over-cap
+      buckets are logged as ``salted_wide`` in the skew metrics).  The
+      scale path for real text.
     * ``"block"`` -- ratio-pruned quadratic join within ``block_cols``
       groups.  Degenerate small-vocabulary corpora (token df comparable
       to corpus size) make every prefix token a hot bucket; there the
@@ -108,16 +122,21 @@ def ngram_jaccard_pairs(
     ).withColumn("n", F.size("toks"))
 
     if strategy == "auto":
-        sample = base.limit(2000).select("doc_id", F.explode("toks").alias("tok"))
+        # deterministic hash-membership sample (~1/16 of docs): independent
+        # of partition layout and row order, so the chosen plan is stable
+        # run-to-run on a real cluster (a bare .limit() is not)
+        sample = base.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)) == 0
+        ).select("doc_id", F.explode("toks").alias("tok"))
         row = sample.agg(
             F.count("*").alias("rows"),
             F.countDistinct("tok").alias("vocab"),
             F.countDistinct("doc_id").alias("docs"),
         ).collect()[0]
         dense = (
-            row["docs"] > 0
-            and row["vocab"] > 0
-            and (row["rows"] / row["vocab"]) / row["docs"] > 0.05
+            row["docs"] == 0  # degenerate tiny corpus → bounded block join
+            or row["vocab"] == 0
+            or (row["rows"] / row["vocab"]) / row["docs"] > 0.05
         )
         strategy = "block" if dense else "prefix"
 
@@ -136,22 +155,41 @@ def ngram_jaccard_pairs(
             .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         )
         keyed = prefix.select(
-            "doc_id", F.xxhash64(F.col("blk"), F.col("tok")).alias("key")
+            "doc_id",
+            F.xxhash64(F.col("blk"), F.col("tok")).alias("key"),
+            F.col("rn").alias("pos"),
+            "n",
         )
-        pairs, _ = pairs_by_key(keyed, cfg)
-        a = base.select(
-            F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),
-            F.col("n").alias("n1"),
+        rows, _ = pairs_by_key(
+            keyed, cfg, payload_cols=("pos", "n"),
+            drop_over_cap=False, distinct=False,
         )
-        b = base.select(
-            F.col("doc_id").alias("id2"), F.col("toks").alias("t2"),
-            F.col("n").alias("n2"),
+        # PPJoin positional filter at the globally-least shared prefix
+        # token w (positions i in doc1, j in doc2, both 1-indexed in the
+        # df-ordered token lists): any other shared token is > w, hence
+        # after position i in doc1 AND after j in doc2, so
+        # overlap <= 1 + min(n1-i, n2-j); J >= t forces
+        # overlap >= t/(1+t)·(n1+n2).  Pairs provably below threshold
+        # never reach the token-array join.  (With i=j=1 this reduces to
+        # the size-ratio prune min(n1,n2) >= t·max(n1,n2), so no separate
+        # ratio prune is needed here.)
+        cand = (
+            rows.groupBy("id1", "id2")
+            .agg(
+                F.min("pos_1").alias("i"),
+                F.min_by("pos_2", "pos_1").alias("j"),
+                F.min("n_1").alias("n1"),
+                F.min("n_2").alias("n2"),
+            )
+            .filter(
+                (1 + F.least(F.col("n1") - F.col("i"), F.col("n2") - F.col("j")))
+                >= F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2")) - F.lit(1e-9)
+            )
+            .select("id1", "id2")
         )
-        joined = (
-            pairs.join(a, "id1")
-            .join(b, "id2")
-            .where((F.col("n1") >= F.col("n2") * t) & (F.col("n2") >= F.col("n1") * t))
-        )
+        a = base.select(F.col("doc_id").alias("id1"), F.col("toks").alias("t1"))
+        b = base.select(F.col("doc_id").alias("id2"), F.col("toks").alias("t2"))
+        joined = cand.join(a, "id1").join(b, "id2")
     elif strategy == "block":
         a = base.select(
             F.col("doc_id").alias("id1"), F.col("toks").alias("t1"),

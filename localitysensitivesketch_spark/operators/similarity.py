@@ -156,14 +156,46 @@ def embedding_near_dup_pairs(
 
 _HYPERPLANE_SCHEMA = "vec_id long, bucket long"
 
+_SM_MASK = (1 << 64) - 1
+_SM_GAMMA = 0x9E3779B97F4B7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _sm64(x: int) -> int:
+    z = (x + _SM_GAMMA) & _SM_MASK
+    z = ((z ^ (z >> 30)) * _SM_M1) & _SM_MASK
+    z = ((z ^ (z >> 27)) * _SM_M2) & _SM_MASK
+    return z ^ (z >> 31)
+
+
+def _make_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic dim×n_bits hyperplane matrix from the splitmix64
+    family (the engine's pinned hash family, SURVEY §4.2 item 3) via
+    Box-Muller — NO library RNG, so a plain-python oracle can replicate
+    every entry bit-for-bit (both sides call CPython ``math`` on identical
+    doubles).  Entry (i, j) uses counter ``idx = i*n_bits + j``."""
+    import math
+
+    out = np.empty((dim, n_bits), dtype=np.float64)
+    for i in range(dim):
+        for j in range(n_bits):
+            idx = i * n_bits + j
+            h1 = _sm64((2 * idx + seed * _SM_GAMMA) & _SM_MASK)
+            h2 = _sm64((2 * idx + 1 + seed * _SM_GAMMA) & _SM_MASK)
+            u1 = (h1 >> 11) * 2.0**-53
+            u2 = (h2 >> 11) * 2.0**-53
+            out[i, j] = math.sqrt(-2.0 * math.log(1.0 - u1)) * math.cos(
+                2.0 * math.pi * u2
+            )
+    return out
+
 
 def _hyperplane_fn(dim: int | None, n_bits: int, seed: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # deterministic hyperplanes from the pinned seed (same construction
-        # as the MinHash family: splitmix64-derived, SURVEY §4.2 item 3);
-        # dim=None defers plane construction to the first batch — planes
-        # depend only on (dim, n_bits, seed), so every partition builds the
-        # same matrix
+        # deterministic hyperplanes from the pinned seed; dim=None defers
+        # plane construction to the first batch — planes depend only on
+        # (dim, n_bits, seed), so every partition builds the same matrix
         planes = None
         weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
             np.uint64
@@ -173,9 +205,8 @@ def _hyperplane_fn(dim: int | None, n_bits: int, seed: int):
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal(
-                    (mat.shape[1] if dim is None else dim, n_bits)
+                planes = _make_planes(
+                    mat.shape[1] if dim is None else dim, n_bits, seed
                 )
             bits = (mat @ planes) > 0
             buckets = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)

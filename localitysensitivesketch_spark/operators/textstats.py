@@ -29,7 +29,8 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "los"],
 }
 
-_TOKEN_PAT = r"\\S+"
+# escaped for use inside an F.expr SQL string literal (regexp_extract_all
+# has no Column-pattern overload) — NOT dead code
 _PUNCT_PAT = r"[^\\w\\s]"
 
 

@@ -20,6 +20,8 @@ Proportional capacity allocation (A13, ``LSSFingerprintAtomic.java:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,37 +30,49 @@ from pyspark.sql import functions as F
 def kmeans_pp_1d(
     values: np.ndarray, k: int = 8, seed: int = 42, n_iter: int = 20
 ) -> np.ndarray:
-    """Pure-numpy 1-D k-means++ init + Lloyd iterations.
+    """Deterministic 1-D k-means: quantile seeding + Lloyd iterations.
+
+    Seeding is RNG-free: center ``j`` starts at the ``(2j+1)/2k`` quantile
+    element of the (sorted) input — the classic 1-D initialization, mass-
+    aware where farthest-point is not (a wide cluster's tail would
+    otherwise steal a seed from a distinct narrow mode).  Duplicate picks
+    (heavily skewed data) are topped up by greedy max-D² (first index on
+    ties).  Lloyd means use ``math.fsum`` (exactly-rounded sum), so the
+    centers are BIT-IDENTICAL to any faithful reimplementation regardless
+    of summation order or vectorization — the independent pure-python
+    shadow (``oracle.oracle_kmeans_1d``) reproduces them without numpy,
+    which is what makes the ``value_cluster_stats`` golden oracle
+    non-circular (the reference's shadow-map pattern,
+    ``LSSFingerprintAtomic.java:77,317-360``: the exact structure is
+    SEPARATE from the production one).
 
     Deterministic in the INPUT ORDER of ``values`` — callers canonicalize
-    (sort) first so centers depend only on the value multiset.  Shared by
-    the Spark trainer and the DuckDB oracle replication in
-    ``__spark_entry__`` (the shadow-map pattern: approximate path and exact
-    path trained identically, compared exactly)."""
+    (sort) first so centers depend only on the value multiset.  ``seed`` is
+    accepted for API compatibility; the algorithm uses no randomness."""
     sample = np.asarray(values, dtype=np.float64)
     if sample.size == 0:
         return np.zeros(k)
-    rng = np.random.default_rng(seed)
+    n = sample.size
     k = min(k, np.unique(sample).size)
-    # k-means++ seeding
-    centers = [sample[rng.integers(0, sample.size)]]
-    for _ in range(1, k):
+    centers: list[float] = []
+    for j in range(k):
+        c0 = float(sample[min(n - 1, ((2 * j + 1) * n) // (2 * k))])
+        if c0 not in centers:
+            centers.append(c0)
+    while len(centers) < k:  # skewed data: quantile picks collided
         d2 = np.min(
             np.abs(sample[:, None] - np.array(centers)[None, :]) ** 2, axis=1
         )
-        tot = d2.sum()
-        if tot == 0:
-            centers.append(sample[rng.integers(0, sample.size)])
-            continue
-        centers.append(sample[rng.choice(sample.size, p=d2 / tot)])
+        centers.append(float(sample[int(np.argmax(d2))]))
     c = np.array(centers, dtype=np.float64)
-    # Lloyd
+    # Lloyd — assignment argmin takes the FIRST min on ties (np.argmin),
+    # matching the oracle's strict-< update loop
     for _ in range(n_iter):
         assign = np.argmin(np.abs(sample[:, None] - c[None, :]), axis=1)
         for j in range(k):
             m = assign == j
             if m.any():
-                c[j] = sample[m].mean()
+                c[j] = math.fsum(sample[m].tolist()) / int(m.sum())
     return np.sort(c)
 
 

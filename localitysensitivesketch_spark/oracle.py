@@ -130,6 +130,87 @@ def oracle_truth_pairs(
     return out
 
 
+def oracle_kmeans_1d(
+    values: list[float], k: int = 8, n_iter: int = 20
+) -> list[float]:
+    """Loop-based plain-python shadow of ``valuecluster.kmeans_pp_1d``:
+    quantile seeding (center j = the (2j+1)/2k-quantile element; duplicate
+    picks topped up by greedy max-D², first index on ties) + Lloyd with
+    ``math.fsum`` means.  fsum is exactly rounded, so these centers are
+    bit-identical to the numpy trainer's — no shared code, no numpy, no
+    RNG."""
+    import math
+
+    vals = [float(v) for v in values]
+    if not vals:
+        return [0.0] * k
+    n = len(vals)
+    k = min(k, len(set(vals)))
+    centers: list[float] = []
+    for j in range(k):
+        c0 = vals[min(n - 1, ((2 * j + 1) * n) // (2 * k))]
+        if c0 not in centers:
+            centers.append(c0)
+    while len(centers) < k:
+        bi, bd = 0, -1.0
+        for i, v in enumerate(vals):
+            d = min((v - c) ** 2 for c in centers)
+            if d > bd:
+                bd, bi = d, i
+        centers.append(vals[bi])
+    for _ in range(n_iter):
+        groups: list[list[float]] = [[] for _ in range(k)]
+        for v in vals:
+            bj, bd = 0, abs(v - centers[0])
+            for j in range(1, k):
+                dv = abs(v - centers[j])
+                if dv < bd:
+                    bd, bj = dv, j
+            groups[bj].append(v)
+        for j in range(k):
+            if groups[j]:
+                centers[j] = math.fsum(groups[j]) / len(groups[j])
+    return sorted(centers)
+
+
+def oracle_hyperplane_entry(idx: int, seed: int) -> float:
+    """Entry ``idx`` (row-major ``i*n_bits + j``) of the deterministic
+    hyperplane matrix: Box-Muller over two splitmix64 uniforms.  The pinned
+    spec shared (as a SPEC, not as code) with
+    ``similarity``'s plane construction — both sides call CPython's
+    ``math`` on identical doubles, so entries are bit-identical."""
+    import math
+
+    h1 = _splitmix64((2 * idx + seed * _SM_GAMMA) & _M64)
+    h2 = _splitmix64((2 * idx + 1 + seed * _SM_GAMMA) & _M64)
+    u1 = (h1 >> 11) * 2.0**-53  # [0, 1)
+    u2 = (h2 >> 11) * 2.0**-53
+    return math.sqrt(-2.0 * math.log(1.0 - u1)) * math.cos(2.0 * math.pi * u2)
+
+
+def oracle_hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """dim×n_bits deterministic hyperplane matrix (see
+    :func:`oracle_hyperplane_entry`)."""
+    return [
+        [oracle_hyperplane_entry(i * n_bits + j, seed) for j in range(n_bits)]
+        for i in range(dim)
+    ]
+
+
+def oracle_hyperplane_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    """Sign-bit bucket of ``vec`` under ``planes`` — sequential fold dot
+    products, pure python."""
+    n_bits = len(planes[0]) if planes else 0
+    out = 0
+    for j in range(n_bits):
+        acc = 0.0
+        for i, x in enumerate(vec):
+            acc += x * planes[i][j]
+        if acc > 0:
+            out |= 1 << j
+    return out
+
+
 def oracle_clusters(
     doc_ids: list[int], pairs: list[tuple[int, int]]
 ) -> dict[int, int]:

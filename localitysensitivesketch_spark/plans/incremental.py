@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
-from ..functions.bloom import bloom_build, might_contain
+from ..functions.bloom import bloom_build, bloom_supported, might_contain
 from ..operators.candidates import pairs_by_key
 from ..operators.cluster import connected_components
 from ..operators.signatures import compute_signatures
@@ -70,12 +70,16 @@ def incremental_update(
     # side into ~|matching old rows|.  Optional: on failure the plain join
     # runs (pre-filter is lossless up to false positives, which the join
     # itself then discards).
-    n_new_keys = new_keys.count()
-    bloom = bloom_build(new_keys, "key", expected_items=max(n_new_keys, 1))
-    if bloom is not None:
-        pred = might_contain(old_keys, "key", bloom)
-        if pred is not None:
-            old_keys = old_keys.filter(pred)
+    # probe expression availability BEFORE the sizing count() — on a Spark
+    # build without the internal classes, no job is paid for a filter that
+    # can never be built
+    if bloom_supported(new_keys.sparkSession):
+        n_new_keys = new_keys.count()
+        bloom = bloom_build(new_keys, "key", expected_items=max(n_new_keys, 1))
+        if bloom is not None:
+            pred = might_contain(old_keys, "key", bloom)
+            if pred is not None:
+                old_keys = old_keys.filter(pred)
     no_pairs = (
         new_keys.join(old_keys, "key")
         .filter(F.col("doc_id") != F.col("old_id"))

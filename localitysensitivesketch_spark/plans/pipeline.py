@@ -146,6 +146,127 @@ class CheckpointStore:
             f.write(json.dumps(meta) + "\n")
         return out
 
+    def _finalize(self, stage: str, out: DataFrame, wall_sec: float,
+                  parts: DataFrame) -> DataFrame:
+        """Write the per-partition lineage table + commit marker (marker
+        last = the commit point) and append the lineage log row."""
+        d = self._stage_dir(stage)
+        parts.write.mode("overwrite").parquet(os.path.join(d, "partitions.parquet"))
+        rows = out.count()
+        n_parts = out.rdd.getNumPartitions()
+        meta = {
+            "run_id": getattr(self, "run_id", "adhoc"),
+            "stage": stage,
+            "status": "ok",
+            "rows": rows,
+            "n_partitions": n_parts,
+            "wall_sec": round(wall_sec, 3),
+            "config_sha": self.cfg_sha,
+            "committed_at": time.time(),
+        }
+        tmp = self._commit_path(stage) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._commit_path(stage))
+        with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        return out
+
+    # -- per-partition (sliced) stage commit --------------------------------
+
+    def resume_partitioned(
+        self,
+        stage: str,
+        input_df: DataFrame,
+        compute_fn,
+        part_col: str = "part_key",
+        n_slices: int = 8,
+    ) -> DataFrame:
+        """Commit a stage in ``n_slices`` independent write jobs with a
+        durable slice ledger, so an interrupted run RESUMES AT SLICE
+        GRANULARITY instead of recomputing the whole stage (SURVEY §4.2
+        item 4; the reference's window-granular flush+resume,
+        ``Sub4SketchingKVStream.java:419-452`` — a window there ≈ a slice
+        of input partitions here).
+
+        ``input_df`` must carry ``part_col`` — a DETERMINISTIC, input-
+        derived partition key (e.g. ``pmod(xxhash64(doc_id), 256)``), never
+        ``spark_partition_id()`` (not stable across runs).  Slice ``s``
+        covers ``part_col % n_slices == s``; ``compute_fn(subset) →
+        DataFrame`` must preserve ``part_col`` on its output.  Each slice
+        appends under ``data.parquet`` partitioned by ``part_col`` and is
+        then recorded in ``slices.jsonl`` (the anti-join against completed
+        work is the set difference on this ledger).  A re-entry after a
+        crash computes ONLY the missing slices — a job dying at 90% redoes
+        ~1 slice, not 100% (at 100 TB the difference between minutes and
+        hours).  On Iceberg each slice is simply an append snapshot; the
+        ``_temporary`` scrub below is the local-parquet stand-in for that
+        atomicity.
+        """
+        import shutil
+
+        if self.is_committed(stage):
+            return self.read(stage)
+        t0 = time.time()
+        d = self._stage_dir(stage)
+        data_path = os.path.join(d, "data.parquet")
+        ledger = os.path.join(d, "slices.jsonl")
+        done: set[int] = set()
+        stale = False
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if rec.get("config_sha") == self.cfg_sha and rec.get(
+                        "n_slices"
+                    ) == n_slices:
+                        done.add(int(rec["slice"]))
+                    else:
+                        stale = True
+        if stale:
+            # a prior run under a different config/slicing left data that
+            # cannot be safely reused — start clean
+            shutil.rmtree(d, ignore_errors=True)
+            done = set()
+        os.makedirs(d, exist_ok=True)
+        for s in range(n_slices):
+            if s in done:
+                continue
+            # scrub leftovers of a crashed append job: a half-finished
+            # _temporary dir could otherwise be committed by the NEXT
+            # job's commit phase (FileOutputCommitter renames whatever
+            # completed task dirs it finds)
+            shutil.rmtree(
+                os.path.join(data_path, "_temporary"), ignore_errors=True
+            )
+            subset = input_df.filter(
+                F.pmod(F.col(part_col), F.lit(n_slices)) == s
+            )
+            out = compute_fn(subset)
+            out.write.mode("append").partitionBy(part_col).parquet(data_path)
+            with open(ledger, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "slice": s,
+                            "n_slices": n_slices,
+                            "config_sha": self.cfg_sha,
+                            "committed_at": time.time(),
+                        }
+                    )
+                    + "\n"
+                )
+        full = self.spark.read.parquet(data_path)
+        parts = (
+            full.groupBy(F.col(part_col).cast("int").alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(F.lit(stage).alias("stage"), "partition_id", "rows")
+        )
+        return self._finalize(stage, full, time.time() - t0, parts)
+
     def invalidate(self, stage: str) -> None:
         """Drop a stage's commit marker so a later resume recomputes it
         (data files stay until overwritten — the marker IS the commit)."""
@@ -218,22 +339,58 @@ class DedupPipeline:
         ran.append(name)
         return out
 
+    N_PART_KEYS = 256  # deterministic input-partition key space
+
     def run(
         self,
         documents: DataFrame,
         resume: bool = True,
         id_col: str = "doc_id",
         text_col: str = "text",
+        signature_slices: int | None = None,
     ) -> PipelineResult:
+        """``signature_slices``: commit the (most expensive) signature stage
+        in that many independent slice jobs via
+        :meth:`CheckpointStore.resume_partitioned`, so an interruption
+        resumes mid-stage instead of recomputing all signatures."""
         cfg = self.cfg
         ran: list[str] = []
         reused: list[str] = []
 
-        sigs = self._stage(
-            "signatures",
-            lambda: compute_signatures(documents, cfg, id_col=id_col, text_col=text_col),
-            resume, ran, reused,
-        )
+        if signature_slices:
+            # cast to long BEFORE hashing — xxhash64 is type-sensitive, and
+            # the output-side key is derived from the (long) doc_id
+            pk = F.pmod(
+                F.xxhash64(F.col(id_col).cast("long")), F.lit(self.N_PART_KEYS)
+            ).cast("int")
+            docs_keyed = documents.withColumn("part_key", pk)
+            if resume and self.store.is_committed("signatures"):
+                reused.append("signatures")
+                sigs = self.store.read("signatures")
+            else:
+                sigs = self.store.resume_partitioned(
+                    "signatures",
+                    docs_keyed,
+                    lambda sub: compute_signatures(
+                        sub.drop("part_key"), cfg, id_col=id_col, text_col=text_col
+                    ).withColumn(
+                        "part_key",
+                        F.pmod(
+                            F.xxhash64(F.col("doc_id")), F.lit(self.N_PART_KEYS)
+                        ).cast("int"),
+                    ),
+                    n_slices=signature_slices,
+                )
+                ran.append("signatures")
+            sigs = sigs.drop("part_key")
+        else:
+            sigs = self._stage(
+                "signatures",
+                lambda: compute_signatures(
+                    documents, cfg, id_col=id_col, text_col=text_col
+                ),
+                resume, ran, reused,
+            )
 
         cand_pair: dict[str, DataFrame] = {}
 

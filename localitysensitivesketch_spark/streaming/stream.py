@@ -120,16 +120,23 @@ def incremental_candidates(
     available_now: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    full_pipeline: bool = False,
 ) -> StreamingQuery:
     """W1 window-flush analogue via ``foreachBatch``: every micro-batch
 
     1. computes signatures for the batch's docs,
     2. joins the batch's band keys against the accumulated store
        (new-vs-old candidates) and within the batch itself (new-vs-new),
-    3. appends signatures to the store and candidate pairs to the output.
+    3. appends signatures to the store and candidate pairs to the output,
+    4. with ``full_pipeline=True``, additionally verifies the pairs (exact
+       ratio-pruned Jaccard against the accumulated doc store), merges the
+       edge set, and recomputes the global cluster snapshot — the stream
+       then answers cluster queries per window like the reference's
+       per-window query suite (``Query/Consumer4sketch.java:201-269``).
 
-    State lives in parquet dirs under ``store_root`` (sigs/, pairs/), so a
-    restart resumes from the stream checkpoint exactly like the reference's
+    State lives in parquet dirs under ``store_root`` (sigs/, pairs/, and
+    with the full pipeline docs/, edges/, clusters/), so a restart resumes
+    from the stream checkpoint exactly like the reference's
     deserialize-and-continue path (``LSSFingerprintAtomic.java:1405-1483``).
     """
     ckpt = os.path.join(store_root, "_stream_checkpoint")
@@ -137,7 +144,7 @@ def incremental_candidates(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_incremental_batch(
             spark, batch_df, batch_id, cfg, store_root,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, full_pipeline=full_pipeline,
         )
 
     w = (
@@ -158,6 +165,7 @@ def process_incremental_batch(
     store_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    full_pipeline: bool = False,
 ) -> None:
     """One micro-batch of :func:`incremental_candidates` — module-level so
     the replay contract is directly unit-testable.
@@ -167,7 +175,12 @@ def process_incremental_batch(
     Structured Streaming replays the last uncommitted batch after a
     failure/restart (same batch_id, same rows), the replay rewrites ITS
     OWN partition instead of appending duplicate rows (duplicate doc_ids
-    would otherwise inflate every downstream candidate join).
+    would otherwise inflate every downstream candidate join).  The sig
+    store read below excludes rows with the CURRENT batch_id, so a replay
+    sees exactly the pre-batch store state — without this, the batch's own
+    signatures (written by the failed attempt) would re-enter through the
+    uncapped new-vs-old join and re-add intra-batch pairs the width cap
+    deliberately dropped.
     """
     sig_path = os.path.join(store_root, "sigs")
     pair_path = os.path.join(store_root, "pairs")
@@ -179,10 +192,15 @@ def process_incremental_batch(
     )
     # new-vs-new within the batch (salted/capped machinery reused)
     pairs, _ = pairs_by_key(new_keys, cfg)
-    # new-vs-old against the accumulated store
+    old_sigs = None
     if os.path.exists(sig_path):
-        old = spark.read.parquet(sig_path)
-        old_keys = old.filter(F.col("n_shingles") > 0).select(
+        # exclude this batch's own partition (present only on replay) —
+        # partition pruning makes the filter free
+        old_sigs = spark.read.parquet(sig_path).filter(
+            F.col("batch_id") != F.lit(batch_id)
+        )
+        # new-vs-old against the accumulated store
+        old_keys = old_sigs.filter(F.col("n_shingles") > 0).select(
             F.col("doc_id").alias("old_id"), F.explode("band_keys").alias("key")
         )
         cross = (
@@ -196,16 +214,66 @@ def process_incremental_batch(
         )
         pairs = pairs.unionByName(cross).distinct()
     pairs = pairs.localCheckpoint(eager=True)  # plan may read pair/sig dirs
-    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+
+    def _write_by_batch(df: DataFrame, path: str) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(path)
+
+    _write_by_batch(pairs, pair_path)
+    _write_by_batch(sigs, sig_path)
+
+    if not full_pipeline:
+        return
+
+    # ---- per-window verify + edge merge + cluster snapshot ----------------
+    # (the reference's per-window query topology, Consumer4sketch.java:
+    # 201-269 — every window runs the full downstream suite)
+    from ..operators.cluster import connected_components
+    from ..operators.verify import duplicate_edges, verify_pairs
+
+    doc_path = os.path.join(store_root, "docs")
+    edge_path = os.path.join(store_root, "edges")
+    cluster_path = os.path.join(store_root, "clusters")
+
+    batch_docs = batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).localCheckpoint(eager=True)
+    all_docs = batch_docs
+    if os.path.exists(doc_path):
+        all_docs = (
+            spark.read.parquet(doc_path)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("doc_id", "text")
+            .unionByName(batch_docs)
+        )
+    all_sigs = sigs if old_sigs is None else old_sigs.drop(
         "batch_id"
-    ).parquet(pair_path)
-    sigs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "batch_id"
-    ).parquet(sig_path)
+    ).unionByName(sigs)
+    verified = verify_pairs(
+        pairs, all_docs, cfg, id_col="doc_id", text_col="text",
+        signatures=all_sigs, min_jaccard=cfg.jaccard_threshold,
+    )
+    new_edges = duplicate_edges(verified, cfg).localCheckpoint(eager=True)
+    all_edges = new_edges
+    if os.path.exists(edge_path):
+        all_edges = (
+            spark.read.parquet(edge_path)
+            .filter(F.col("batch_id") != F.lit(batch_id))
+            .select("id1", "id2")
+            .unionByName(new_edges.select("id1", "id2"))
+        )
+    clusters = connected_components(
+        all_docs.select("doc_id"), all_edges
+    ).localCheckpoint(eager=True)  # plan reads dirs rewritten below
+    _write_by_batch(batch_docs, doc_path)
+    _write_by_batch(new_edges, edge_path)
+    # global snapshot: full overwrite is replay-idempotent by construction
+    # (same inputs ⇒ same labels — CC is order-independent)
+    clusters.write.mode("overwrite").parquet(cluster_path)
 
 
 def windowed_event_counts(

@@ -124,3 +124,48 @@ def test_minhash_estimates_jaccard():
         sigb = H.minhash_signature(sb, seeds)
         est = float((siga == sigb).mean())
         assert abs(est - true_j) < 0.15
+
+
+def test_kmeans_centers_match_pure_python_oracle():
+    """The numpy trainer and the independent loop-based oracle must produce
+    BIT-IDENTICAL centers (fsum means + deterministic max-D² seeding) —
+    this is what de-circularizes the value_cluster_stats golden oracle."""
+    from localitysensitivesketch_spark.operators.valuecluster import kmeans_pp_1d
+    from localitysensitivesketch_spark.oracle import oracle_kmeans_1d
+
+    rng = np.random.default_rng(21)
+    for n, k in ((1000, 8), (257, 3), (5, 8), (0, 4)):
+        vals = np.sort(
+            np.concatenate(
+                [rng.normal(m, s, n // 3 + 1) for m, s in ((5, 1), (80, 4), (900, 30))]
+            )[:n]
+        )
+        got = [float(c) for c in kmeans_pp_1d(vals, k=k)]
+        want = oracle_kmeans_1d([float(v) for v in vals], k=k)
+        assert got == want, (n, k)
+
+
+def test_hyperplanes_match_pure_python_oracle():
+    """Production plane matrix (splitmix64 + Box-Muller, numpy container)
+    equals the pure-python oracle entry-for-entry, and the sign-bit buckets
+    agree — no numpy RNG anywhere in either path."""
+    from localitysensitivesketch_spark.operators.similarity import _make_planes
+    from localitysensitivesketch_spark.oracle import (
+        oracle_hyperplane_bucket,
+        oracle_hyperplanes,
+    )
+
+    dim, n_bits, seed = 16, 12, 42
+    prod = _make_planes(dim, n_bits, seed)
+    orac = oracle_hyperplanes(dim, n_bits, seed)
+    for i in range(dim):
+        for j in range(n_bits):
+            assert float(prod[i, j]) == orac[i][j], (i, j)
+    # plausible standard-normal marginals (not a constant/degenerate matrix)
+    flat = prod.ravel()
+    assert abs(float(flat.mean())) < 0.3 and 0.7 < float(flat.std()) < 1.3
+    rng = np.random.default_rng(9)
+    vec = [float(x) for x in rng.standard_normal(dim)]
+    bits = (np.array([vec]) @ prod) > 0
+    bucket_np = int(sum(1 << j for j in range(n_bits) if bits[0, j]))
+    assert bucket_np == oracle_hyperplane_bucket(vec, orac)

@@ -221,6 +221,88 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert parts.agg(F.sum("rows")).collect()[0][0] == 80
 
 
+def test_per_partition_resume_reuses_completed_slices(spark, tmp_path):
+    """SURVEY §4.2 item 4: a stage interrupted mid-write must resume at
+    slice granularity — completed input partitions are NOT recomputed (the
+    anti-join against the slice ledger), and the resumed output equals a
+    clean run's."""
+    import json as _json
+
+    from localitysensitivesketch_spark.operators.signatures import compute_signatures
+    from localitysensitivesketch_spark.plans.pipeline import CheckpointStore
+
+    corpus = generate_corpus(n_docs=120, seed=23)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    pk = F.pmod(F.xxhash64(F.col("doc_id").cast("long")), F.lit(256)).cast("int")
+    keyed = docs.withColumn("part_key", pk)
+
+    def compute(sub):
+        return compute_signatures(sub.drop("part_key"), CFG).withColumn(
+            "part_key",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(256)).cast("int"),
+        )
+
+    calls: list[int] = []
+
+    def failing_compute(sub):
+        calls.append(1)
+        if len(calls) == 3:
+            raise RuntimeError("simulated executor-loss mid-stage")
+        return compute(sub)
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"), CFG)
+    with pytest.raises(RuntimeError):
+        store.resume_partitioned(
+            "signatures", keyed, failing_compute, n_slices=4
+        )
+    # two slices landed durably before the crash
+    ledger = tmp_path / "ckpt" / "signatures" / "slices.jsonl"
+    recs = [_json.loads(line) for line in ledger.read_text().splitlines()]
+    assert [r["slice"] for r in recs] == [0, 1]
+    assert not store.is_committed("signatures")
+
+    # resume: only the 2 missing slices are computed
+    calls2: list[int] = []
+
+    def counting_compute(sub):
+        calls2.append(1)
+        return compute(sub)
+
+    out = store.resume_partitioned(
+        "signatures", keyed, counting_compute, n_slices=4
+    )
+    assert len(calls2) == 2  # slices 2 and 3 only
+    assert store.is_committed("signatures")
+
+    # output equals a clean unsliced run
+    want = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in compute_signatures(docs, CFG).collect()
+    )
+    got = sorted((r["doc_id"], tuple(r["minhash"])) for r in out.collect())
+    assert got == want
+    # per-partition lineage rows cover every doc exactly once
+    parts = store.partition_lineage("signatures")
+    assert parts.agg(F.sum("rows")).collect()[0][0] == 120
+
+    # second entry after commit: pure reuse, zero compute calls
+    calls3: list[int] = []
+    out2 = store.resume_partitioned(
+        "signatures", keyed, lambda sub: calls3.append(1) or compute(sub),
+        n_slices=4,
+    )
+    assert calls3 == [] and out2.count() == 120
+
+    # the pipeline wiring: sliced signature stage, same end-to-end clusters
+    p = DedupPipeline(spark, str(tmp_path / "ckpt2"), CFG)
+    r_sliced = p.run(docs, signature_slices=4)
+    p_plain = DedupPipeline(spark, str(tmp_path / "ckpt3"), CFG)
+    r_plain = p_plain.run(docs)
+    assert sorted(
+        (r["doc_id"], r["cluster_id"]) for r in r_sliced.clusters.collect()
+    ) == sorted((r["doc_id"], r["cluster_id"]) for r in r_plain.clusters.collect())
+
+
 def test_sketch_accuracy_report(spark):
     """MinHash estimate vs exact Jaccard — the reference's online accuracy
     suite (est within sampling error; detection F1 near 1 at the pinned
@@ -444,3 +526,32 @@ def test_driver_contract_oracle_coverage():
         )
     for name, sql in os_.items():
         con.execute(f"SELECT * FROM ({sql}) LIMIT 0")  # parse/bind only
+
+
+def test_cc_reliable_checkpoint_same_labels(spark, tmp_path):
+    """checkpoint_dir routes round truncation through reliable
+    ``checkpoint()`` — the loop survives with it enabled and the labels are
+    identical to the localCheckpoint default, for both algorithms."""
+    import os
+
+    from localitysensitivesketch_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (10, 30)]
+    edf = spark.createDataFrame(edges, "id1 long, id2 long")
+    verts = spark.range(45).select(F.col("id").alias("doc_id"))
+    ckdir = str(tmp_path / "cc_reliable")
+    for algo in ("label", "star"):
+        base = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(verts, edf, algorithm=algo).collect()
+        }
+        rel = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                verts, edf, algorithm=algo, checkpoint_dir=ckdir
+            ).collect()
+        }
+        assert base == rel, algo
+    assert os.listdir(ckdir)  # reliable checkpoint files actually landed

@@ -298,3 +298,56 @@ def test_bloom_prefilter_members_and_plan(spark):
     )
     # false-positive rate near the configured 1e-3
     assert filtered.count() < 100
+
+
+def test_streaming_full_pipeline_clusters_match_batch(spark, tmp_path):
+    """full_pipeline=True: each micro-batch runs verify + edge merge + CC,
+    so the final streaming cluster snapshot equals the batch pipeline's
+    clusters on the same corpus — and replaying the last batch (the
+    Structured Streaming crash contract) leaves the snapshot unchanged."""
+    from localitysensitivesketch_spark.operators.dedup import minhash_lsh_dedup
+
+    path, docs = _write_docs(spark, tmp_path, n=80, seed=29, n_files=3)
+    store = str(tmp_path / "store")
+    stream = ST.read_document_stream(
+        spark, path,
+        schema="url string, warc_ts timestamp, html binary, text string, "
+               "lang string, doc_id long",
+        max_files_per_trigger=1,
+    )
+    q = ST.incremental_candidates(
+        spark, stream, CFG, store, full_pipeline=True
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/clusters").collect()
+    )
+    batch = minhash_lsh_dedup(spark.read.parquet(path), CFG)["clusters"]
+    want = sorted((r["doc_id"], r["cluster_id"]) for r in batch.collect())
+    assert got == want and len(got) == 80
+
+    # replay the LAST batch with the same batch_id against the already-
+    # written store: snapshot and per-batch tables must be unchanged
+    last_bid = (
+        spark.read.parquet(f"{store}/sigs")
+        .agg(F.max("batch_id"))
+        .collect()[0][0]
+    )
+    last_docs_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/docs")
+        .filter(F.col("batch_id") == last_bid)
+        .collect()
+    }
+    replay_df = docs.filter(F.col("doc_id").isin(last_docs_ids))
+    ST.process_incremental_batch(
+        spark, replay_df, int(last_bid), CFG, store, full_pipeline=True
+    )
+    got2 = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/clusters").collect()
+    )
+    assert got2 == want
+    assert spark.read.parquet(f"{store}/docs").count() == 80  # no dup rows
