@@ -325,7 +325,9 @@ def _q_minhash_band_candidates(spark, sf_dir):
     from localitysensitivesketch_spark.operators.candidates import band_candidates
     from localitysensitivesketch_spark.operators.signatures import compute_signatures
 
-    sigs = compute_signatures(docs, CFG)
+    # lazy-pin the Arrow signature stage so the band-key explode's two
+    # consumers (width classification + the pair self-join) evaluate it once
+    sigs = compute_signatures(docs, CFG).localCheckpoint(eager=False)
     pairs, _ = band_candidates(sigs, CFG)
     return pairs
 

@@ -174,6 +174,10 @@ def histogram_cdf(
         .agg(F.count("*").alias("cnt"))
     )
     tot = buckets.agg(F.sum("cnt").alias("tot"))
+    # global (unpartitioned) window is safe here: it runs over the BUCKET
+    # table, whose size is bounded by value_range / bucket_size — never by
+    # the row count — so the single-partition sort is a few thousand rows
+    # even at 100 TB input
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
         buckets.crossJoin(F.broadcast(tot))

@@ -44,12 +44,14 @@ from pyspark.sql import functions as F
 def _ckpt_fn(df_any: DataFrame, checkpoint_dir: str | None):
     """Round-truncation strategy: reliable ``checkpoint()`` when a
     directory is given (set once on the SparkContext), else
-    ``localCheckpoint``."""
+    ``localCheckpoint``.  ``eager=False`` marks for materialization on
+    first use (no extra job) — used to pin an expensive upstream plan so
+    downstream self-unions evaluate it once."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+        return lambda df, eager=True: df.localCheckpoint(eager=eager)
     sc = df_any.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint(eager=True)
+    return lambda df, eager=True: df.checkpoint(eager=eager)
 
 
 def _sym_edges(edges: DataFrame) -> DataFrame:
@@ -88,7 +90,11 @@ def connected_components(
 
     ck = _ckpt_fn(edges, checkpoint_dir)
     verts = vertices.select(F.col(id_col).cast("long").alias("id")).distinct()
-    sym = ck(_sym_edges(edges))
+    # pin the (often expensive — a whole candidate join) edge plan BEFORE
+    # symmetrizing: _sym_edges unions two projections of it, and without
+    # this the upstream plan's post-exchange work runs twice (measured 2×
+    # the ngram-join wall on the token-CC query)
+    sym = ck(_sym_edges(ck(edges, eager=False)))
 
     # init = min(v, min neighbor): round 1 of propagation, for free
     labels = (

@@ -268,6 +268,11 @@ def simhash_dedup_pairs(
     table — the bit-vector tier (``LSSFingerprintAtomic.java:382-414``
     FingerLen-fingerprint analogue, widened to 64 bits)."""
     cfg = cfg or SketchConfig()
-    sigs = compute_signatures(documents, cfg, id_col=id_col, text_col=text_col)
+    # lazy-pin the Arrow signature stage: the segment-key explode, the
+    # width classification, and BOTH sides of the fingerprint re-check join
+    # read it — without this the Python stage runs up to 4×
+    sigs = compute_signatures(
+        documents, cfg, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
     pairs, _ = simhash_candidates(sigs, cfg)
     return pairs

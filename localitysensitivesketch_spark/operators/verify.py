@@ -7,20 +7,19 @@ re-checked with the EXACT shingle Jaccard (and byte-equality for exact dups)
 before it may create a cluster edge — so pipeline precision is 1.0 by
 construction and recall is the only approximation.
 
-Execution shape: texts are attached to pairs with two equi-joins (wide
-payload shuffled once per side); the Jaccard recompute runs in an
-Arrow-batched ``mapInPandas`` with
+Execution shape (signatures path): a byte-equality fast path decides exact
+copies JVM-side (md5+length — they never reach Python); near pairs collapse
+to distinct canonical text pairs; their docs are shingled ONCE EACH in a
+doc-parallel Arrow pass, and a pair-parallel Arrow pass intersects the
+compact int64 shingle arrays.  The two-pass split is what makes the stage
+scale: shipping texts to the pair stage instead makes every partition
+re-tokenize nearly the whole rep-doc set (the id2 side of a pair partition
+spans all docs), so total work grows with partition count and the stage
+hits a parallelism-independent wall.
 
-* a byte-equality fast path (md5+length decided JVM-side — exact copies
-  never reach the shingle code), and
-* a per-worker ``doc_id → shingle set`` cache, so each doc's shingles are
-  computed once per partition, not once per pair (pairs are repartitioned
-  by id1 to concentrate repeats).
-
-An all-JVM variant (join precomputed shingle arrays, ``array_intersect``)
-was measured 8× slower at 160k pairs: the ~5 KB/doc shingle arrays blow up
-the pair join payload; shipping the (smaller) text and hashing in Arrow
-batches wins.
+A pure-JVM variant (``array_intersect`` on the pair join) was measured 8×
+slower at 160k pairs — JVM set-intersection of 400-element arrays loses to
+numpy's sorted merge; Arrow transfer of the arrays is the right boundary.
 """
 
 from __future__ import annotations
@@ -93,6 +92,72 @@ def _verify_batches(cfg_json: str):
                     "exact_match": exact,
                     "n_shingles_1": ns1,
                     "n_shingles_2": ns2,
+                }
+            )
+
+    return fn
+
+
+_SHINGLE_SCHEMA = "doc_id long, sh array<bigint>"
+
+
+def _shingle_batches(cfg_json: str):
+    """(doc_id, text) → (doc_id, sorted unique shingle hashes as int64) —
+    the doc-parallel ONCE-PER-DOC shingle pass.  uint64 hashes are
+    reinterpreted to int64 for Arrow; intersection/union sizes are invariant
+    under the bijection."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = SketchConfig.from_json(cfg_json)
+        token_cache: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].tolist()
+            out = [
+                H.u64_to_i64(
+                    H.shingle_hashes(
+                        H.hash_tokens(
+                            tokenize(t, cfg.normalization), token_cache
+                        ),
+                        cfg.shingle_k,
+                    )
+                )
+                for t in texts
+            ]
+            if len(token_cache) > 1_000_000:
+                token_cache.clear()
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "sh": out}
+            )
+
+    return fn
+
+
+def _pair_intersect_batches():
+    """(id1, id2, sh1, sh2) → (id1, id2, jaccard): exact set Jaccard from
+    precomputed shingle arrays — no tokenization here, so per-pair work is
+    a single O(n log n) intersect."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            jac = np.empty(n, dtype=np.float64)
+            s1l = pdf["sh1"].tolist()
+            s2l = pdf["sh2"].tolist()
+            for i in range(n):
+                s1 = np.asarray(s1l[i], dtype=np.int64)
+                s2 = np.asarray(s2l[i], dtype=np.int64)
+                inter = np.intersect1d(s1, s2, assume_unique=True).size
+                union = s1.size + s2.size - inter
+                jac[i] = (inter / union) if union else 1.0
+            yield pd.DataFrame(
+                {
+                    "id1": pdf["id1"].to_numpy(),
+                    "id2": pdf["id2"].to_numpy(),
+                    "jaccard": jac,
                 }
             )
 
@@ -256,8 +321,39 @@ def verify_pairs(
         rep_pairs = with_canon.select(
             F.col("cid1").alias("id1"), F.col("cid2").alias("id2")
         ).distinct()
-        rep_jaccard = _recompute(rep_pairs).select(
-            F.col("id1").alias("cid1"), F.col("id2").alias("cid2"), "jaccard"
+        # ONCE-PER-DOC shingling, then array-join (the scaling-critical
+        # shape): feeding TEXTS to the pair stage makes every partition
+        # re-tokenize nearly every rep doc — its id2 side touches the whole
+        # doc set, so total shingle work grows LINEARLY with partition
+        # count and the stage walls at ~(n_rep_docs × shingle_cost)
+        # regardless of cores (measured: 43 s at local[8] ≈ 62 s at
+        # local[2] on 500 k rep pairs).  Splitting into a doc-parallel
+        # shingle pass (each of the ~n_rep_docs computed exactly once) +
+        # a pair-parallel intersect over compact int64 arrays restores
+        # linear scaling; the array payload (~8B × shingles) is the price,
+        # paid through one exchange.
+        rep_docs = (
+            rep_pairs.select(F.col("id1").alias("doc_id"))
+            .unionByName(rep_pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        sh_tbl = (
+            rep_docs.join(docs.select("doc_id", "text"), "doc_id")
+            .mapInPandas(_shingle_batches(cfg.to_json()), _SHINGLE_SCHEMA)
+            .localCheckpoint(eager=False)  # two consumers (sh1/sh2 sides)
+        )
+        sh1 = sh_tbl.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+        sh2 = sh_tbl.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+        rep_jaccard = (
+            rep_pairs.join(sh2, "id2")
+            .join(sh1, "id1")
+            .select("id1", "id2", "sh1", "sh2")
+            .mapInPandas(
+                _pair_intersect_batches(), "id1 long, id2 long, jaccard double"
+            )
+            .select(
+                F.col("id1").alias("cid1"), F.col("id2").alias("cid2"), "jaccard"
+            )
         )
         # jaccard is symmetric, so the canonical orientation never matters;
         # per-side shingle counts come from the member's own metadata
