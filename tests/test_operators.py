@@ -303,6 +303,64 @@ def test_per_partition_resume_reuses_completed_slices(spark, tmp_path):
     ) == sorted((r["doc_id"], r["cluster_id"]) for r in r_plain.clusters.collect())
 
 
+def test_per_partition_resume_idempotent_after_ledger_crash(spark, tmp_path):
+    """Crash-window idempotency: a slice whose DATA landed but whose ledger
+    line was never written (process died between the parquet commit and the
+    ledger append) must be recomputed WITHOUT duplicating its rows — the
+    per-slice overwrite directory makes re-entry idempotent at every crash
+    point."""
+    import json as _json
+
+    from localitysensitivesketch_spark.operators.signatures import compute_signatures
+    from localitysensitivesketch_spark.plans.pipeline import CheckpointStore
+
+    corpus = generate_corpus(n_docs=80, seed=29)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    keyed = docs.withColumn(
+        "part_key",
+        F.pmod(F.xxhash64(F.col("doc_id").cast("long")), F.lit(256)).cast("int"),
+    )
+
+    def compute(sub):
+        return compute_signatures(sub.drop("part_key"), CFG).withColumn(
+            "part_key",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(256)).cast("int"),
+        )
+
+    calls: list[int] = []
+
+    def failing(sub):
+        calls.append(1)
+        if len(calls) == 3:
+            raise RuntimeError("die before slice 2's ledger line")
+        return compute(sub)
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"), CFG)
+    with pytest.raises(RuntimeError):
+        store.resume_partitioned("signatures", keyed, failing, n_slices=4)
+
+    # simulate the worst crash window: slice 1's data is durable but its
+    # ledger line vanished (crash between the two writes)
+    ledger = tmp_path / "ckpt" / "signatures" / "slices.jsonl"
+    recs = [_json.loads(line) for line in ledger.read_text().splitlines()]
+    assert [r["slice"] for r in recs] == [0, 1]
+    ledger.write_text(
+        "\n".join(_json.dumps(r) for r in recs if r["slice"] != 1) + "\n"
+    )
+    slice1 = tmp_path / "ckpt" / "signatures" / "data.parquet" / "__slice=1"
+    assert slice1.exists()
+
+    out = store.resume_partitioned("signatures", keyed, compute, n_slices=4)
+    got = sorted(
+        (r["doc_id"], tuple(r["minhash"])) for r in out.collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in compute_signatures(docs, CFG).collect()
+    )
+    assert got == want  # every doc exactly once — no slice-1 duplicates
+
+
 def test_sketch_accuracy_report(spark):
     """MinHash estimate vs exact Jaccard — the reference's online accuracy
     suite (est within sampling error; detection F1 near 1 at the pinned
