@@ -222,6 +222,95 @@ def connected_components_star(
     )
 
 
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_touched_broadcast: int = 4_000_000,
+) -> DataFrame:
+    """Incremental CC: merge ``new_edges`` (and optionally ``new_vertices``)
+    into an existing ``labels(doc_id, cluster_id)`` assignment WITHOUT
+    re-running connected components over the full edge set.
+
+    Correctness: contracting each existing cluster to a single node
+    preserves connectivity, so CC over the CONTRACTED graph — one node per
+    old cluster label touched by a new edge, one edge per new edge mapped
+    through the old labels — yields exactly the components of the union
+    graph.  Labels are min-doc_ids, and min over merged groups of mins is
+    the global min, so the merged labels are IDENTICAL to a from-scratch
+    ``connected_components`` over old∪new edges (pinned by
+    ``test_merge_components_equals_full_recompute``).
+
+    Scale shape (the reason this exists): per batch the full recompute is
+    O(|all edges|) across ~log rounds of shuffles; here the only work
+    proportional to corpus size is ONE map-side pass — the final relabel
+    broadcast-joins the (tiny) label→superlabel map against ``labels``, and
+    the contracted CC runs on ≤|new edges| edges.  The endpoint set of a
+    micro-batch is small by construction, so the semi-join that extracts
+    touched label rows broadcasts it; if a pathological batch exceeds
+    ``max_touched_broadcast`` endpoints, fall back to a full recompute
+    (caller's choice — this function just does the merge).
+    """
+    new_edges = new_edges.select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+    )
+    base = labels.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    if new_vertices is not None:
+        fresh = (
+            new_vertices.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .join(base.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        base = base.unionByName(fresh)
+    base = base.localCheckpoint(eager=False)  # two consumers: touched + relabel
+
+    endpoints = (
+        new_edges.select(F.col("id1").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    # touched = the old label of every endpoint — endpoint set is batch-
+    # sized, so broadcast it into the big labels table (map-side semi-join)
+    touched = base.join(F.broadcast(endpoints), "doc_id")
+    c1 = touched.select(
+        F.col("doc_id").alias("id1"), F.col("cluster_id").alias("l1")
+    )
+    c2 = touched.select(
+        F.col("doc_id").alias("id2"), F.col("cluster_id").alias("l2")
+    )
+    contracted = (
+        new_edges.join(c1, "id1")
+        .join(c2, "id2")
+        .filter(F.col("l1") != F.col("l2"))
+        .select(F.col("l1").alias("id1"), F.col("l2").alias("id2"))
+        .distinct()
+    )
+    cverts = (
+        contracted.select(F.col("id1").alias("doc_id"))
+        .unionByName(contracted.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    # contracted graph is new-edge-sized — CC on it is cheap regardless of
+    # corpus size
+    super_labels = connected_components(cverts, contracted)
+    remap = super_labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("cluster_id").alias("new_cluster_id"),
+    )
+    # ONE broadcast hash join over the corpus-sized label table — no
+    # shuffle of labels, no iteration
+    return base.join(F.broadcast(remap), "cluster_id", "left").select(
+        "doc_id",
+        F.coalesce("new_cluster_id", "cluster_id").alias("cluster_id"),
+    )
+
+
 def cluster_stats(assignments: DataFrame, documents: DataFrame | None = None,
                   id_col: str = "doc_id") -> DataFrame:
     """Per-cluster size + canonical doc (avg-estimator analogue,

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..config import SketchConfig
 from ..functions.bloom import bloom_build, bloom_supported, might_contain
 from ..operators.candidates import pairs_by_key
-from ..operators.cluster import connected_components
+from ..operators.cluster import merge_components
 from ..operators.signatures import compute_signatures
 from ..operators.verify import duplicate_edges, verify_pairs
 from .pipeline import CheckpointStore
@@ -103,8 +103,18 @@ def incremental_update(
     merged_edges = store.read("edges").unionByName(new_edges).distinct()
 
     merged_sigs = old_sigs.unionByName(new_sigs)
-    vertices = all_documents.select(F.col(id_col).cast("long").alias("doc_id"))
-    clusters = connected_components(vertices, merged_edges)
+    # incremental CC: contract the committed clusters, CC only the
+    # batch-sized contracted graph, relabel with one broadcast join —
+    # identical labels to a full recompute over merged_edges (pinned by
+    # test_merge_components_equals_full_recompute), but the only
+    # corpus-sized work is a map-side pass over the label table
+    clusters = merge_components(
+        store.read("clusters"),
+        new_edges.select("id1", "id2"),
+        new_vertices=new_documents.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ),
+    )
     stats = clusters.groupBy("cluster_id").agg(
         F.count("*").alias("size"), F.min("doc_id").alias("canonical_doc_id")
     )

@@ -231,7 +231,7 @@ def process_incremental_batch(
     # ---- per-window verify + edge merge + cluster snapshot ----------------
     # (the reference's per-window query topology, Consumer4sketch.java:
     # 201-269 — every window runs the full downstream suite)
-    from ..operators.cluster import connected_components
+    from ..operators.cluster import connected_components, merge_components
     from ..operators.verify import duplicate_edges, verify_pairs
 
     doc_path = os.path.join(store_root, "docs")
@@ -258,17 +258,32 @@ def process_incremental_batch(
         signatures=all_sigs, min_jaccard=cfg.jaccard_threshold,
     )
     new_edges = duplicate_edges(verified, cfg).localCheckpoint(eager=True)
-    all_edges = new_edges
-    if os.path.exists(edge_path):
-        all_edges = (
-            spark.read.parquet(edge_path)
-            .filter(F.col("batch_id") != F.lit(batch_id))
-            .select("id1", "id2")
-            .unionByName(new_edges.select("id1", "id2"))
-        )
-    clusters = connected_components(
-        all_docs.select("doc_id"), all_edges
-    ).localCheckpoint(eager=True)  # plan reads dirs rewritten below
+    if os.path.exists(cluster_path):
+        # incremental merge: contract the previous snapshot's clusters and
+        # run CC only on the (batch-sized) contracted graph, then relabel
+        # the corpus-sized table with ONE broadcast join — per-window cost
+        # stays proportional to the batch, not the accumulated edge set.
+        # Replay-safe: if the previous attempt already wrote the merged
+        # snapshot, re-merging the same edges is a no-op (every contracted
+        # edge collapses to l1 == l2).
+        prev = spark.read.parquet(cluster_path)
+        clusters = merge_components(
+            prev, new_edges.select("id1", "id2"), new_vertices=batch_docs
+        ).localCheckpoint(eager=True)  # plan reads dirs rewritten below
+    else:
+        # no snapshot yet (first window, or a crash before the very first
+        # snapshot write): full CC over whatever edges exist
+        all_edges = new_edges.select("id1", "id2")
+        if os.path.exists(edge_path):
+            all_edges = (
+                spark.read.parquet(edge_path)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("id1", "id2")
+                .unionByName(all_edges)
+            )
+        clusters = connected_components(
+            all_docs.select("doc_id"), all_edges
+        ).localCheckpoint(eager=True)
     _write_by_batch(batch_docs, doc_path)
     _write_by_batch(new_edges, edge_path)
     # global snapshot: full overwrite is replay-idempotent by construction

@@ -361,6 +361,44 @@ def test_per_partition_resume_idempotent_after_ledger_crash(spark, tmp_path):
     assert got == want  # every doc exactly once — no slice-1 duplicates
 
 
+def test_merge_components_equals_full_recompute(spark):
+    """Incremental CC (contract-then-merge) must produce labels identical
+    to a from-scratch connected_components over the union edge set — and
+    re-merging the same edges must be a no-op (replay idempotency)."""
+    import random
+
+    from localitysensitivesketch_spark.operators.cluster import (
+        connected_components,
+        merge_components,
+    )
+
+    rng = random.Random(5)
+    old_edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    # new edges touch old vertices, brand-new vertices (200-219), and
+    # bridge old clusters
+    new_edges = [
+        (rng.randrange(220), rng.randrange(220)) for _ in range(60)
+    ]
+    verts_old = spark.range(200).select(F.col("id").alias("doc_id"))
+    verts_new = spark.range(220).select(F.col("id").alias("doc_id"))
+    e_old = spark.createDataFrame(old_edges, "id1 long, id2 long")
+    e_new = spark.createDataFrame(new_edges, "id1 long, id2 long")
+
+    labels_old = connected_components(verts_old, e_old)
+    merged = merge_components(labels_old, e_new, new_vertices=verts_new)
+    full = connected_components(verts_new, e_old.unionByName(e_new))
+    got = sorted((r.doc_id, r.cluster_id) for r in merged.collect())
+    want = sorted((r.doc_id, r.cluster_id) for r in full.collect())
+    assert got == want
+
+    # idempotent: merging the same edges into the merged labels changes
+    # nothing (every contracted edge collapses to l1 == l2)
+    again = merge_components(merged, e_new, new_vertices=verts_new)
+    assert sorted((r.doc_id, r.cluster_id) for r in again.collect()) == want
+
+
 def test_sketch_accuracy_report(spark):
     """MinHash estimate vs exact Jaccard — the reference's online accuracy
     suite (est within sampling error; detection F1 near 1 at the pinned
