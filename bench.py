@@ -80,8 +80,9 @@ def main() -> None:
     # file is the newest recorded run; all runs are kept in BENCH/.
     scaling = None
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for name in ("scaling_2v8_800k_r2.json", "scaling_2v8_r2.json",
-                 "scaling_4v16_r2.json", "scaling_4v16.json"):
+    for name in ("scaling_1v4_800k_r3.json", "scaling_2v8_800k_r2.json",
+                 "scaling_2v8_r2.json", "scaling_4v16_r2.json",
+                 "scaling_4v16.json"):
         evidence = os.path.join(bench_dir, name)
         if os.path.exists(evidence):
             break
