@@ -394,6 +394,37 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def _q_segment_dedup_stats(spark, sf_dir):
+    """C4-style cross-document segment duplication stats (10-token chunks
+    — this corpus has no newlines, so the token_chunks segmentation)."""
+    from localitysensitivesketch_spark.operators import corpus as CP
+
+    return CP.segment_dedup_stats(
+        _t(spark, sf_dir, "documents"), mode="token_chunks", chunk_tokens=10
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document duplicate-n-gram ratios (n=2,3)."""
+    from localitysensitivesketch_spark.operators import corpus as CP
+
+    return CP.repetition_stats(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+def _q_decontamination(spark, sf_dir):
+    """GPT-3-style train/eval n-gram decontamination: src19 is the held-out
+    benchmark, the rest is the training corpus.  n=4 (not the paper's 13)
+    because this corpus's 31-token vocabulary makes longer grams vanish."""
+    from localitysensitivesketch_spark.operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.contamination_report(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -434,6 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": _q_sketch_accuracy,
         "cluster_churn": _q_cluster_churn,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "segment_dedup_stats": _q_segment_dedup_stats,
+        "repetition_stats": _q_repetition_stats,
+        "decontamination": _q_decontamination,
     }
 
 
@@ -1112,6 +1146,77 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "cluster_churn": _CHURN_SQL,
+        # C4-style segment dedup: 10-token non-overlapping chunks, md5'd,
+        # counted over distinct containing docs, joined back per doc.
+        "segment_dedup_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), segs AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, CAST(ceil(len(t) / 10.0) AS BIGINT) + 1),
+                       i -> md5(array_to_string(t[(i-1)*10+1 : i*10], ' ')))) AS h
+              FROM toks
+            ), seg_docs AS (
+              SELECT h, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY h
+            )
+            SELECT s.doc_id,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_segments,
+                   round(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS dup_segment_frac
+            FROM segs s JOIN seg_docs d USING (h)
+            GROUP BY s.doc_id
+        """,
+        # Gopher repetition ratios, long format over n in (2, 3)
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, 2 AS gram_n,
+                     unnest(list_transform(range(1, len(t)),
+                       i -> array_to_string(t[i : i+1], ' '))) AS g
+              FROM toks WHERE len(t) >= 2
+              UNION ALL
+              SELECT doc_id, 3 AS gram_n,
+                     unnest(list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(t[i : i+2], ' '))) AS g
+              FROM toks WHERE len(t) >= 3
+            ), cnt AS (
+              SELECT doc_id, gram_n, g, count(*) AS c
+              FROM grams GROUP BY doc_id, gram_n, g
+            )
+            SELECT doc_id, gram_n,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(c) - count(*) AS BIGINT) AS n_dup_grams,
+                   round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_frac,
+                   round(max(c) * 1.0 / sum(c), 6) AS top_frac
+            FROM cnt GROUP BY doc_id, gram_n
+        """,
+        # GPT-3 decontamination: distinct shared 4-grams per training doc
+        # against the src19 benchmark slice
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     unnest(list_transform(range(1, len(t) - 2),
+                       i -> array_to_string(t[i : i+3], ' '))) AS g
+              FROM toks WHERE len(t) >= 4
+            ), ev AS (
+              SELECT DISTINCT g FROM grams WHERE source = 'src19'
+            ), tr AS (
+              SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src19'
+            )
+            SELECT doc_id, count(*) AS n_shared_grams
+            FROM tr JOIN ev USING (g)
+            GROUP BY doc_id
+        """,
     }
     vc = _value_cluster_oracle()
     if vc is not None:

@@ -1,0 +1,299 @@
+"""Corpus-level hygiene operators for a web-text training pipeline.
+
+Three operators a 100 TB pre-training pipeline runs alongside document
+dedup, each expressed entirely in built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage codegen, exact ANSI-SQL oracles):
+
+- **Cross-document segment dedup** (C4-style, Raffel et al. JMLR'20 §2.2
+  "we discard all but one of any three-sentence span occurring more than
+  once"): segment every document (newline lines, or fixed token windows
+  for corpora without line structure), count how many *distinct* documents
+  each segment occurs in, and report / strip the repeated ones.
+- **Within-document repetition ratios** (Gopher, Rae et al. 2021 Table A1
+  "repetition" filters): per-document fraction of duplicate n-grams and
+  the most-frequent-n-gram share, the signal used to drop boilerplate and
+  degenerate machine-generated pages.
+- **Train/eval decontamination** (GPT-3, Brown et al. 2020 Appendix C):
+  flag training documents sharing any token n-gram with a benchmark set.
+
+The reference's analogue for all three is its fingerprint/key-projection
+layer (``Sketching/LSSFingerprintAtomic.java:382-414`` fingerprint
+compression; ``Ingest/Pub4PCapStreamKVTable.java:405-503`` key
+projections): cheap per-record derivations whose cross-record structure is
+recovered by hash-keyed aggregation — exactly the shape used here.
+
+Scale notes (100 TB):
+
+- Document TEXT never enters a shuffle.  Every exchange carries
+  ``(doc_id, segment_hash)`` / ``(doc_id, gram)`` rows only; cleaned text
+  is rebuilt document-side from a joined array of drop positions.
+- Segment/gram aggregations are plain hash aggregates with map-side
+  partial combine; the join back to per-document stats is a fact-dim join
+  on the hash key (one aggregated row per hash on the build side), which
+  AQE handles under skew (boilerplate segments are hot keys, but they are
+  single aggregated rows after the first agg).
+- Decontamination broadcasts the (distinct-hashed) benchmark gram set and
+  filters the 100 TB side map-side *before* any shuffle — only matching
+  grams ever move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _segments(text_col: str, mode: str, chunk_tokens: int) -> Column:
+    """Array of segment strings for one document.
+
+    ``lines``: newline-delimited lines (the C4 unit for corpora that keep
+    layout).  ``token_chunks``: consecutive non-overlapping windows of
+    ``chunk_tokens`` whitespace tokens — the fallback for single-line text
+    (this sandbox's corpus has no newlines).
+    """
+    if mode == "lines":
+        return F.split(F.col(text_col), "\n")
+    if mode != "token_chunks":
+        raise ValueError(f"mode must be 'lines' or 'token_chunks', got {mode!r}")
+    t = _tokens(text_col)
+    n_chunks = F.ceil(F.size(t) / F.lit(float(chunk_tokens))).cast("int")
+    # split() yields >=1 element, so n_chunks >= 1 and sequence() is safe
+    return F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(
+            F.slice(t, (i - F.lit(1)) * chunk_tokens + F.lit(1), chunk_tokens), " "
+        ),
+    )
+
+
+def _seg_delim(mode: str) -> str:
+    return "\n" if mode == "lines" else " "
+
+
+def segment_occurrences(
+    df: DataFrame,
+    mode: str = "token_chunks",
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, h) — md5 of each segment with its position.
+
+    The narrow per-segment row every downstream op joins on; text itself
+    stays in the scan stage.
+    """
+    segs = _segments(text_col, mode, chunk_tokens)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    ).select("doc_id", "pos", F.md5("seg").alias("h"))
+
+
+def duplicated_segments(
+    occ: DataFrame, min_count: int = 2, scope: str = "docs"
+) -> DataFrame:
+    """(h, n) for repeated segments.
+
+    ``scope="docs"``: n = distinct documents containing the segment
+    (cross-document boilerplate; two-stage exact distinct count — dedup
+    (h, doc_id) with map-side combine, then count per hash, no
+    count_distinct row expansion).  ``scope="occurrences"``: n = total
+    occurrences anywhere, C4's literal "span occurring more than once"
+    rule, which also catches intra-document repeats.
+    """
+    if scope == "docs":
+        base = occ.select("h", "doc_id").distinct()
+    elif scope == "occurrences":
+        base = occ.select("h")
+    else:
+        raise ValueError(f"scope must be 'docs' or 'occurrences', got {scope!r}")
+    return (
+        base.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    mode: str = "token_chunks",
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-corpus segment duplication stats.
+
+    Output: (doc_id, n_segments, n_dup_segments, dup_segment_frac) where a
+    segment is "dup" iff it occurs in >= ``min_docs`` distinct documents
+    (its own included).  C4 JMLR'20 §2.2 reports exactly this fraction
+    before stripping.
+    """
+    occ = segment_occurrences(df, mode, chunk_tokens, id_col, text_col)
+    dup = duplicated_segments(occ, min_docs, scope="docs").select("h")
+    flagged = occ.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_segment_frac",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 6),
+        )
+    )
+
+
+def drop_duplicate_segments(
+    df: DataFrame,
+    mode: str = "token_chunks",
+    chunk_tokens: int = 10,
+    min_count: int = 2,
+    scope: str = "occurrences",
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's transformation: remove every repeated segment from every doc,
+    optionally keeping the single occurrence in the lowest (doc_id, pos).
+    Default ``scope="occurrences"`` is C4's literal rule (intra-document
+    repeats count too).
+
+    Only ``(doc_id, pos)`` drop-lists cross the wire: the shuffle joins
+    carry hashes and positions, then one array-typed column lands back on
+    the document row and the cleaned text is rebuilt in the scan stage
+    with an index-filtered ``array_join`` — document text never shuffles.
+    """
+    occ = segment_occurrences(df, mode, chunk_tokens, id_col, text_col)
+    dup = duplicated_segments(occ, min_count, scope=scope).select("h")
+    hits = occ.join(dup, "h")
+    if keep_first:
+        # global keeper per hash = min (doc_id, pos); drop all other hits
+        keeper = hits.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("k")
+        ).select("h", F.col("k.doc_id").alias("kdoc"), F.col("k.pos").alias("kpos"))
+        hits = hits.join(keeper, "h").filter(
+            (F.col("doc_id") != F.col("kdoc")) | (F.col("pos") != F.col("kpos"))
+        )
+    drops = hits.groupBy("doc_id").agg(F.collect_list("pos").alias("drop_pos"))
+    drops = drops.withColumnRenamed("doc_id", "__drop_doc_id")
+
+    segs = _segments(text_col, mode, chunk_tokens)
+    out = df.join(
+        drops, F.col(id_col) == F.col("__drop_doc_id"), "left"
+    ).drop("__drop_doc_id")
+    kept = F.filter(
+        segs,
+        lambda s, i: ~F.array_contains(
+            F.coalesce(F.col("drop_pos"), F.array().cast("array<int>")), i
+        ),
+    )
+    return out.withColumn(
+        "clean_text", F.array_join(kept, _seg_delim(mode))
+    ).drop("drop_pos")
+
+
+def repetition_stats(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition ratios, long format.
+
+    Output per (doc, n): (doc_id, gram_n, n_grams, n_dup_grams, dup_frac,
+    top_frac) where ``n_dup_grams`` counts occurrences beyond each gram's
+    first (Gopher's "fraction of duplicate n-grams") and ``top_frac`` is
+    the most frequent n-gram's share.  Docs shorter than n tokens emit no
+    row for that n.
+
+    One explode over all requested n simultaneously (grams carry an ``n:``
+    tag so a single (doc_id, gram) hash-agg serves every n); the agg is
+    keyed by doc_id so there are no cross-document hot keys.
+    """
+    t = _tokens(text_col)
+
+    def _tagged(n: int) -> Column:
+        # NOTE: the transform lambda must be single-parameter — a second
+        # parameter would be interpreted as the element index by Spark.
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.concat(
+                    F.lit(f"{n}:"), F.array_join(F.slice(t, i, n), " ")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = [_tagged(n) for n in ns]
+    rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.concat(*tagged)).alias("g")
+    )
+    cnt = rows.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        cnt.withColumn("gram_n", F.split("g", ":", 2)[0].cast("int"))
+        .groupBy("doc_id", "gram_n")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            (F.sum("c") - F.count("*")).alias("n_dup_grams"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "gram_n",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+            F.round(F.col("top_c") / F.col("n_grams"), 6).alias("top_frac"),
+        )
+    )
+
+
+def _gram_hashes(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, h) — md5 of every sliding token n-gram (docs with < n
+    tokens emit nothing)."""
+    t = _tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("h"))
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style decontamination: training docs sharing >= 1 token
+    n-gram with the benchmark set (Brown et al. 2020 Appendix C uses
+    13-grams; pass a smaller n for low-entropy corpora — this sandbox's
+    31-token vocabulary needs n=4 to be non-degenerate).
+
+    Output: (doc_id, n_shared_grams) — distinct contaminated grams per
+    flagged training doc.  The benchmark gram set is distinct-hashed and
+    **broadcast**, so the training side is filtered map-side before its
+    only shuffle (the distinct on surviving (doc_id, h) pairs): at 100 TB
+    the full-corpus side never exchanges a non-matching row.
+    """
+    ev = _gram_hashes(benchmark, n, id_col, text_col).select("h").distinct()
+    tr = _gram_hashes(train, n, id_col, text_col)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

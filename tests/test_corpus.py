@@ -1,0 +1,132 @@
+"""Corpus-hygiene operators: C4 segment dedup, Gopher repetition ratios,
+GPT-3 decontamination (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.operators import corpus as C
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d\nx y z\na b c d"),
+            (2, "x y z\nq r s"),
+            (3, "unique line here\nanother one"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_segment_dedup_stats_lines(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in C.segment_dedup_stats(_docs(spark), mode="lines").collect()
+    }
+    # "x y z" is the only segment in >= 2 distinct docs; the intra-doc
+    # repeat "a b c d" does NOT count under scope="docs"
+    assert rows[1]["n_segments"] == 3 and rows[1]["n_dup_segments"] == 1
+    assert rows[2]["n_segments"] == 2 and rows[2]["n_dup_segments"] == 1
+    assert rows[3]["n_dup_segments"] == 0
+    assert abs(rows[2]["dup_segment_frac"] - 0.5) < 1e-9
+
+
+def test_drop_duplicate_segments_c4_keep_first(spark):
+    # C4 rule (scope="occurrences"): intra-doc repeats count; the single
+    # keeper is the globally lowest (doc_id, pos)
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.drop_duplicate_segments(_docs(spark), mode="lines").collect()
+    }
+    assert rows[1] == "a b c d\nx y z"
+    assert rows[2] == "q r s"
+    assert rows[3] == "unique line here\nanother one"
+
+
+def test_drop_duplicate_segments_drop_all(spark):
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.drop_duplicate_segments(
+            _docs(spark), mode="lines", keep_first=False
+        ).collect()
+    }
+    assert rows[1] == "" and rows[2] == "q r s"
+
+
+def test_token_chunks_reconstruction_identity(spark):
+    # with no duplicated chunks, clean_text round-trips the token stream
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(23))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.drop_duplicate_segments(df, chunk_tokens=10).collect()
+    }
+    assert rows[1] == " ".join(f"t{i}" for i in range(23))
+    assert rows[2] == "a b"
+
+
+def test_repetition_stats_known_counts(spark):
+    df = spark.createDataFrame([(1, "a b a b a c"), (2, "x y")], ["doc_id", "text"])
+    rows = {
+        (r["doc_id"], r["gram_n"]): r
+        for r in C.repetition_stats(df, ns=(2, 3)).collect()
+    }
+    # doc 1 bigrams: ab ba ab ba ac -> 5 total, 3 distinct, top=2
+    r = rows[(1, 2)]
+    assert r["n_grams"] == 5 and r["n_dup_grams"] == 2
+    assert abs(r["dup_frac"] - 0.4) < 1e-9 and abs(r["top_frac"] - 0.4) < 1e-9
+    # doc 1 trigrams: aba bab aba bac -> 4 total, dup 1, top 2/4
+    r = rows[(1, 3)]
+    assert r["n_grams"] == 4 and r["n_dup_grams"] == 1
+    assert abs(r["top_frac"] - 0.5) < 1e-9
+    # doc 2 has one bigram and no trigram row
+    assert rows[(2, 2)]["n_grams"] == 1 and (2, 3) not in rows
+
+
+def test_contamination_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    train = [(i, mk(rng.randint(2, 30))) for i in range(40)]
+    bench = [(100 + i, mk(rng.randint(5, 20))) for i in range(6)]
+    n = 3
+
+    def grams(text):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ev = set(itertools.chain.from_iterable(grams(t) for _, t in bench))
+    want = {
+        i: len(grams(t) & ev) for i, t in train if grams(t) & ev
+    }
+
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in C.contamination_report(
+            spark.createDataFrame(train, ["doc_id", "text"]),
+            spark.createDataFrame(bench, ["doc_id", "text"]),
+            n=n,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = C.contamination_report(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        n=4,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
