@@ -394,6 +394,27 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def _q_latest_capture(spark, sf_dir):
+    """Recrawl dedup (newest capture per key).  The driver testdata has no
+    url/warc_ts table, so the contract exercises the identical max_by path
+    on events: newest event per user, event_id tie-break."""
+    return D.latest_capture(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup assignments over the embeddings table: near-dup graph at
+    cosine ≥ 0.3 within label blocks → CC → keep-one.  block_col='label'
+    makes the pair set exact within blocks, so the whole composition has
+    an exact recursive-CTE oracle (same machinery as cluster_token_cc)."""
+    out = S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+    )
+    return out["assignments"]
+
+
 def _q_segment_dedup_stats(spark, sf_dir):
     """C4-style cross-document segment duplication stats (10-token chunks
     — this corpus has no newlines, so the token_chunks segmentation)."""
@@ -465,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": _q_sketch_accuracy,
         "cluster_churn": _q_cluster_churn,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "latest_capture": _q_latest_capture,
+        "semantic_dedup": _q_semantic_dedup,
         "segment_dedup_stats": _q_segment_dedup_stats,
         "repetition_stats": _q_repetition_stats,
         "decontamination": _q_decontamination,
@@ -962,6 +985,24 @@ scored AS (
 SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_COS}, 6) >= 0.3
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+), reach(src, dst) AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS vec_id, min(dst) AS cluster_id, (src = min(dst)) AS keep
+FROM reach GROUP BY src
+"""
+
 _EMB_NEAR_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id1, b.vec_id AS id2, round({_COS}, 6) AS cosine
@@ -1119,6 +1160,15 @@ def oracle_sql() -> dict[str, str]:
         "decode_features": _DECODE_SQL,
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "latest_capture": """
+            SELECT user_id, event_id, ts, event_type, value, props
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
         "binary_meta": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                    CASE

@@ -1,9 +1,11 @@
 """Deduplication front door: every dedup flavor as one operator each.
 
-The engine's reason to exist (BASELINE.json north_rule).  Four tiers, in
+The engine's reason to exist (BASELINE.json north_rule).  Tiers in
 increasing cost — a 100 TB pipeline runs them in this order so each tier
 shrinks the input of the next:
 
+0. **recrawl** — newest capture per url (:func:`latest_capture`): one
+   ``max_by`` hash aggregate, no content comparison at all.
 1. **exact** — fingerprint groupBy (``LSSFingerprintAtomic.java:382-414``
    fingerprint-compression analogue): one shuffle on a 16-byte key.
 2. **n-gram Jaccard within blocks** — token-set overlap on a cheap blocking
@@ -67,6 +69,40 @@ def exact_dedup(
         .select("doc_id")
     )
     return df.join(keep, on=df[id_col] == keep["doc_id"], how="left_semi")
+
+
+def latest_capture(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Recrawl dedup: keep the newest capture per ``key_col`` (tier 0 of
+    the ladder for Common-Crawl-style corpora, where the same url recurs
+    across crawl snapshots — run before any content tier so text dedup
+    never wastes work comparing a page to its own earlier capture).
+
+    One hash-partitioned ``max_by`` aggregation on the key: the whole row
+    rides inside the aggregation buffer, so there is exactly one shuffle
+    (on ``key_col``) and NO sort-based window — at 100 TB a
+    row_number-over-window would sort every partition; max_by is a
+    streaming partial aggregate with map-side combine.
+
+    Ties on ``ts_col`` break deterministically by ``tiebreak_col``
+    (greatest wins; default: lexicographically greatest remaining-column
+    struct) so output is stable at any parallelism.
+    """
+    others = [c for c in df.columns if c != key_col]
+    if tiebreak_col is None:
+        ord_cols = [ts_col] + [c for c in others if c != ts_col]
+    else:
+        ord_cols = [ts_col, tiebreak_col] + [
+            c for c in others if c not in (ts_col, tiebreak_col)
+        ]
+    picked = df.groupBy(key_col).agg(
+        F.max_by(F.struct(*others), F.struct(*ord_cols)).alias("r")
+    )
+    return picked.select(key_col, *[F.col(f"r.{c}").alias(c) for c in others])
 
 
 def ngram_jaccard_pairs(

@@ -237,6 +237,78 @@ def hyperplane_buckets(
     return pruned.mapInPandas(_hyperplane_fn(dim, n_bits, seed), _HYPERPLANE_SCHEMA)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    n_bits: int = 16,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): embedding-cosine near-dup graph → connected components →
+    keep-one representative per cluster.
+
+    Completes the engine's tiered dedup ladder (exact md5 → MinHash
+    Jaccard → SimHash Hamming → long-substring → *semantic*) with the same
+    generate-then-verify shape as the text spine (reference pattern:
+    locality-sensitive placement then exact disambiguation,
+    ``Sketching/LSSFingerprintAtomic.java:474-498`` +
+    ``:317-360``) — here the "sketch" is the hyperplane sign-bit bucket
+    and the "exact shadow" is the codegen'd cosine on the bucket-joined
+    candidates.
+
+    Plan shape at 100 TB: with ``block_col=None`` candidates come from
+    :func:`hyperplane_buckets` (one Arrow matmul pass, then a salt-free
+    equi-join on ``bucket`` — bucket population is ~n/2^n_bits, tune
+    ``n_bits`` up as the corpus grows); the CC runs on the pair graph only
+    (near-dup edges, ≪ corpus size).  No stage ever shuffles the embedding
+    vectors twice: pairs carry ids + cosine only.
+
+    Returns ``{"pairs", "assignments", "keep", "stats"}``:
+
+    - ``pairs``: (id1, id2, cosine) near-dup edges (cosine ≥ threshold)
+    - ``assignments``: (vec_id, cluster_id, keep) — every corpus row;
+      ``cluster_id`` is the min reachable id (CC min-label invariant), so
+      ``keep = (vec_id == cluster_id)`` marks the representative
+    - ``keep``: the surviving corpus rows (one per cluster), original schema
+    - ``stats``: (cluster_id, size) for size ≥ 2 clusters (the dup mass)
+    """
+    from .cluster import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col=block_col, n_bits=n_bits, seed=seed,
+    )
+    vertices = corpus.select(F.col(id_col).cast("long").alias("doc_id"))
+    cc = connected_components(
+        vertices, pairs.select("id1", "id2"), checkpoint_dir=checkpoint_dir
+    )
+    assignments = cc.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+    keep = corpus.join(
+        assignments.filter("keep").select(F.col("vec_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    stats = (
+        assignments.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    return {
+        "pairs": pairs,
+        "assignments": assignments,
+        "keep": keep,
+        "stats": stats,
+    }
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

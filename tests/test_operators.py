@@ -158,6 +158,71 @@ def test_embedding_near_dup_finds_duplicate(spark):
     assert [(r["id1"], r["id2"]) for r in out] == [(0, 1)]
 
 
+def test_latest_capture_keeps_newest_per_url(spark):
+    from datetime import datetime
+
+    from localitysensitivesketch_spark.operators.dedup import latest_capture
+
+    rows = [
+        ("u1", datetime(2024, 1, 1), b"<a>", "v1", "en"),
+        ("u1", datetime(2024, 3, 1), b"<b>", "v2", "en"),   # newest u1
+        ("u2", datetime(2024, 2, 1), b"<c>", "w1", "de"),
+        ("u2", datetime(2024, 2, 1), b"<d>", "w2", "de"),   # ts tie → max text
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r["url"]: (r["text"], r["warc_ts"]) for r in latest_capture(df).collect()}
+    assert out["u1"] == ("v2", datetime(2024, 3, 1))
+    assert out["u2"][0] == "w2"  # deterministic tie-break, greatest struct
+    assert latest_capture(df).columns == df.columns
+    # partitioning-independent
+    out2 = {r["url"]: r["text"] for r in latest_capture(df.repartition(5)).collect()}
+    assert out2 == {u: t for u, (t, _) in out.items()}
+
+
+def test_semantic_dedup_clusters_and_keeps_one(spark):
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal(8)
+    b = rng.standard_normal(8)
+    vecs = [
+        a, a + 1e-4 * rng.standard_normal(8), 2.0 * a,  # cluster {0,1,2}
+        b, -b,                                          # 3 alone; 4 = -b alone
+    ]
+    df = _emb_df(spark, vecs)
+    out = S.semantic_dedup(df, threshold=0.99, block_col=None, n_bits=4)
+    asn = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in out["assignments"].collect()}
+    assert set(asn) == {0, 1, 2, 3, 4}
+    assert asn[0] == (0, True) and asn[1] == (0, False) and asn[2] == (0, False)
+    assert asn[3] == (3, True) and asn[4] == (4, True)
+    kept = sorted(r["vec_id"] for r in out["keep"].collect())
+    assert kept == [0, 3, 4]
+    stats = {r["cluster_id"]: r["size"] for r in out["stats"].collect()}
+    assert stats == {0: 3}
+
+
+def test_semantic_dedup_blocked_matches_default_on_shared_bucket(spark):
+    # identical vectors always share every hyperplane bucket, so the
+    # default (LSH-blocked) path must find the same exact-dup clusters a
+    # user-provided block column finds
+    rng = np.random.default_rng(7)
+    vecs = list(rng.standard_normal((12, 8)))
+    vecs.append(vecs[0].copy())  # 12 duplicates 0
+    df_lbl = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    exact = S.semantic_dedup(df_lbl, threshold=0.999999, block_col="label")
+    lsh = S.semantic_dedup(
+        df_lbl.drop("label"), threshold=0.999999, block_col=None, n_bits=8
+    )
+    exact_asn = sorted(map(tuple, exact["assignments"].collect()))
+    lsh_asn = sorted(map(tuple, lsh["assignments"].collect()))
+    assert exact_asn == lsh_asn
+    assert (0, 0, True) in lsh_asn and (12, 0, False) in lsh_asn
+
+
 # ---------------------------------------------------------------------------
 # substring (winnowing) pass
 # ---------------------------------------------------------------------------
