@@ -13,6 +13,15 @@ through the same commit protocol.
 Cost model at scale: signatures O(|new|); candidate join O(|new| band rows
 ⋈ store); connected components O(|V|+|E|) but over the (small) edge set
 only — never re-reads the old corpus text.
+
+Store layout at cluster scale: the documents and signature tables are
+joined on ``doc_id`` by every verify pass and relabel — write them
+bucketed on ``doc_id`` (``sources/bucketed_store.py``; on Iceberg the
+``bucket(N, doc_id)`` partition transform) so those joins read
+co-located buckets with no exchange.  The sandbox CheckpointStore keeps
+plain dir-swap parquet because its atomic-commit protocol (and the
+resume tests that pin it) predate catalog tables; the bucketed layout is
+a drop-in for the ``read``/``write`` surface.
 """
 
 from __future__ import annotations
