@@ -446,6 +446,17 @@ def _q_decontamination(spark, sf_dir):
     )
 
 
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher-style quality gate with thresholds pinned to this corpus's
+    distributions (10-99 tokens, dup-2gram p75 ≈ 0.047) so both keep
+    outcomes and several distinct reason sets occur."""
+    from localitysensitivesketch_spark.operators import corpus as CP
+
+    return CP.gopher_filter(
+        _t(spark, sf_dir, "documents"), min_tokens=30, max_dup_2gram_frac=0.04
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -491,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_stats": _q_segment_dedup_stats,
         "repetition_stats": _q_repetition_stats,
         "decontamination": _q_decontamination,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -1161,6 +1173,66 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "gopher_filter": """
+            WITH toks AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), stats AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     length(text) * 1.0 / len(t) AS cpt,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                       / length(text) AS punct_r,
+                     len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x IN ('the','and','of','to','in','a','is')
+                     )) * 1.0 / len(t) AS stop_r
+              FROM toks
+            ), grams AS (
+              SELECT doc_id, 2 AS gram_n,
+                     unnest(list_transform(range(1, len(t)),
+                       i -> array_to_string(t[i : i+1], ' '))) AS g
+              FROM toks WHERE len(t) >= 2
+              UNION ALL
+              SELECT doc_id, 3 AS gram_n,
+                     unnest(list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(t[i : i+2], ' '))) AS g
+              FROM toks WHERE len(t) >= 3
+            ), cnt AS (
+              SELECT doc_id, gram_n, g, count(*) AS c
+              FROM grams GROUP BY doc_id, gram_n, g
+            ), dup AS (
+              SELECT doc_id,
+                     max(CASE WHEN gram_n = 2 THEN f END) AS dup2,
+                     max(CASE WHEN gram_n = 3 THEN f END) AS dup3
+              FROM (
+                SELECT doc_id, gram_n,
+                       round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS f
+                FROM cnt GROUP BY doc_id, gram_n
+              ) GROUP BY doc_id
+            ), sel AS (
+              SELECT s.doc_id,
+                     [CASE WHEN s.cpt < 3.0 OR s.cpt > 10.0
+                           THEN 'chars_per_token' END,
+                      CASE WHEN coalesce(d.dup2, 0) > 0.04
+                           THEN 'dup_2gram' END,
+                      CASE WHEN coalesce(d.dup3, 0) > 0.18
+                           THEN 'dup_3gram' END,
+                      CASE WHEN s.n_tokens < 30 OR s.n_tokens > 100000
+                           THEN 'n_tokens' END,
+                      CASE WHEN s.punct_r > 0.2 THEN 'punct_ratio' END,
+                      CASE WHEN s.stop_r < 0.01 THEN 'stopword_ratio' END
+                     ] AS rs
+              FROM stats s LEFT JOIN dup d ON s.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   len(list_filter(rs, x -> x IS NOT NULL)) = 0 AS keep,
+                   coalesce(
+                     array_to_string(list_filter(rs, x -> x IS NOT NULL), ','),
+                     '') AS reasons
+            FROM sel
+        """,
         "latest_capture": """
             SELECT user_id, event_id, ts, event_type, value, props
             FROM (

@@ -297,3 +297,88 @@ def contamination_report(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_chars_per_token: float = 3.0,
+    max_chars_per_token: float = 10.0,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    max_dup_2gram_frac: float = 0.20,
+    max_dup_3gram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 Table A1 shape): every
+    rule evaluated per document, composed into one keep/drop decision with
+    the failed-rule slugs kept for auditability — the filter stage a
+    training pipeline runs between hygiene stats and dedup.  Default
+    thresholds follow the paper's ballpark; they are pinned config, not a
+    claim of exact parity with its full rule table.
+
+    Output: (doc_id, keep boolean, reasons string) — ``reasons`` is the
+    comma-joined failed slugs in fixed alphabetical order (empty string
+    when keep), so the result is deterministic and SQL-comparable.
+
+    Plan shape: one scan computes all per-row ratios (no second pass over
+    text); the only shuffles are the per-doc n-gram aggregates of
+    :func:`repetition_stats`, whose exchanges carry (doc_id, gram) rows —
+    text itself never shuffles.  A row whose ratio is undefined (empty
+    text) fails only the token-count rule, not every ratio rule.
+    """
+    from .textstats import _PUNCT_PAT
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '{_PUNCT_PAT}', 0)"))
+    n_stop = F.size(
+        F.expr(
+            f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+            "t -> t IN ('the','and','of','to','in','a','is'))"
+        )
+    )
+    # try_divide: an empty/whitespace doc has 0 chars or 0 tokens — the
+    # ratio is then NULL (rule not triggered) instead of an ANSI
+    # divide-by-zero error; such docs still fail the n_tokens rule
+    per_row = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.try_divide(n_chars, n_tokens).alias("chars_per_token"),
+        F.try_divide(n_punct, n_chars).alias("punct_ratio"),
+        F.try_divide(n_stop, n_tokens).alias("stopword_ratio"),
+    )
+    reps = (
+        repetition_stats(df, ns=(2, 3), id_col=id_col, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("gram_n") == 2, F.col("dup_frac"))).alias("dup2"),
+            F.max(F.when(F.col("gram_n") == 3, F.col("dup_frac"))).alias("dup3"),
+        )
+    )
+    j = per_row.join(reps, "doc_id", "left")
+    # slugs in fixed alphabetical order so reasons is deterministic and
+    # reproducible in plain SQL without a sort
+    checks = [
+        ("chars_per_token",
+         (F.col("chars_per_token") < min_chars_per_token)
+         | (F.col("chars_per_token") > max_chars_per_token)),
+        ("dup_2gram", F.coalesce(F.col("dup2"), F.lit(0.0)) > max_dup_2gram_frac),
+        ("dup_3gram", F.coalesce(F.col("dup3"), F.lit(0.0)) > max_dup_3gram_frac),
+        ("n_tokens",
+         (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)),
+        ("punct_ratio", F.col("punct_ratio") > max_punct_ratio),
+        ("stopword_ratio", F.col("stopword_ratio") < min_stopword_ratio),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(slug)) for slug, cond in checks])
+    )
+    return j.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("reasons"),
+    )

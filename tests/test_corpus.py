@@ -130,3 +130,36 @@ def test_contamination_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_filter_reasons_and_keep(spark):
+    long_ok = " ".join(f"w{i}" for i in range(60))          # unique tokens
+    repeated = " ".join(["dup gram"] * 40)                   # dup 2-grams + short toks? no: 80 tokens
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, repeated), (3, short)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["keep"], r["reasons"]) for r in C.gopher_filter(
+        df, min_tokens=10, min_stopword_ratio=0.0
+    ).collect()}
+    assert out[1] == (True, "")
+    assert out[2][0] is False and "dup_2gram" in out[2][1]
+    assert out[3][0] is False and "n_tokens" in out[3][1]
+    # reasons are alphabetical, comma-joined
+    for _, reasons in out.values():
+        parts = reasons.split(",") if reasons else []
+        assert parts == sorted(parts)
+
+
+def test_gopher_filter_empty_text_null_ratio_rules_stay_silent(spark):
+    # 0 chars → punct_ratio is 0/0: try_divide yields NULL, the rule must
+    # not fire (no ANSI divide-by-zero error either); the doc still fails
+    # the defined rules (n_tokens, chars_per_token = 0 < min)
+    df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["reasons"] for r in C.gopher_filter(
+        df, min_tokens=5, min_stopword_ratio=0.0
+    ).collect()}
+    for rs in out.values():
+        assert "n_tokens" in rs
+        assert "punct_ratio" not in rs
+    assert "chars_per_token" in out[1]  # 0 chars / 1 token = 0 < min
