@@ -446,6 +446,12 @@ def _q_decontamination(spark, sf_dir):
     )
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Token counting under the BPE-style pre-tokenizer (letter/digit/
+    punct runs — RE2-compatible so the oracle runs the same pattern)."""
+    return T.token_stats(_t(spark, sf_dir, "documents"), tokenizer="bpe")
+
+
 def _q_gopher_filter(spark, sf_dir):
     """Gopher-style quality gate with thresholds pinned to this corpus's
     distributions (10-99 tokens, dup-2gram p75 ≈ 0.047) so both keep
@@ -503,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontamination": _q_decontamination,
         "gopher_filter": _q_gopher_filter,
+        "bpe_token_stats": _q_bpe_token_stats,
     }
 
 
@@ -1173,6 +1180,20 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   length(text) AS n_chars,
+                   round(length(text) * 1.0 / nullif(len(toks), 0), 6)
+                     AS chars_per_token
+            FROM (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')
+                       AS toks
+              FROM documents
+            )
+        """,
         "gopher_filter": """
             WITH toks AS (
               SELECT doc_id, text,

@@ -33,17 +33,38 @@ LANG_MARKERS: dict[str, list[str]] = {
 # has no Column-pattern overload) — NOT dead code
 _PUNCT_PAT = r"[^\\w\\s]"
 
+# BPE-style pre-tokenizer classes (the GPT-2 pattern's shape minus the
+# RE2-unsupported lookahead, so the exact same pattern runs in Spark's
+# Java regex AND the DuckDB/RE2 oracle): letter runs, digit runs,
+# punctuation runs.  A subword tokenizer's token count is proportional to
+# the count under this pre-split, which is what a corpus-sizing pass needs.
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, chars, avg token
-    length.  All codegen'd string ops on the pruned (id, text) projection."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """Token counting: whitespace tokens (``tokenizer="ws"``) or BPE-style
+    pre-tokenization (``"bpe"`` — letter/digit/punctuation runs, the
+    GPT-2 pre-split shape), distinct tokens, chars, avg token length.
+    All codegen'd string ops on the pruned (id, text) projection."""
+    if tokenizer == "ws":
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    elif tokenizer == "bpe":
+        toks = F.regexp_extract_all(F.col(text_col), F.lit(_BPE_PAT), 0)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (ws|bpe)")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        F.round(F.length(F.col(text_col)) / F.size(toks), 6).alias("chars_per_token"),
+        F.round(
+            F.try_divide(F.length(F.col(text_col)), F.size(toks)), 6
+        ).alias("chars_per_token"),
     )
 
 

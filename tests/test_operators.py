@@ -716,3 +716,19 @@ def test_cc_reliable_checkpoint_same_labels(spark, tmp_path):
         }
         assert base == rel, algo
     assert os.listdir(ckdir)  # reliable checkpoint files actually landed
+
+
+def test_token_stats_bpe_pretokenizer(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop, 123abc!!"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.token_stats(df, tokenizer="bpe").collect()}
+    # don / ' / t / stop / , / 123 / abc / !!  -> 8 runs
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["n_distinct_tokens"] == 8
+    assert out[2]["n_tokens"] == 0 and out[2]["chars_per_token"] is None
+    ws = {r["doc_id"]: r["n_tokens"] for r in T.token_stats(df).collect()}
+    assert ws[1] == 3  # whitespace mode unchanged
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        T.token_stats(df, tokenizer="nope")
