@@ -1,0 +1,167 @@
+"""End-to-end corpus curation: the funnel a training-data user actually runs.
+
+Composes the engine's tiers in the cost order the module docstrings
+promise (``operators/dedup.py``) over the north-rule table
+``(url, warc_ts, html, text, lang)``:
+
+    raw captures
+      → latest capture per url        (recrawl tier — one max_by agg)
+      → deterministic doc ids         (doc_id = xxhash64(url))
+      → exact dedup                   (md5 groupBy, keep min doc_id)
+      → quality gate                  (Gopher rules, keep+reasons)
+      → MinHash+LSH near-dup clusters (the checkpointed DedupPipeline)
+      → survivors                     (canonical doc per cluster)
+
+Every stage is committed through the same :class:`CheckpointStore`
+protocol as the dedup spine, so an interrupted curation run resumes at
+the first uncommitted stage, and the store's lineage table records
+per-stage rows/wall.  The ``funnel`` output is the stage-by-stage
+row-count audit (what a 100 TB run reports to its operator).
+
+Reference analogue: the staged consumer topology
+(``Query/Consumer4sketch.java:201-269`` runs its query suite as ordered
+stages over each window's sketch state); here the stages are corpus
+tiers and the state is the committed stage tables.
+
+Scale notes: each tier only ever shuffles ids/hashes (the wide
+``html``/``text`` payload moves once, in the final left-semi join that
+materializes survivors); the near-dup tier inherits the spine's
+salted/capped band joins and doc-parallel verify.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from ..operators.corpus import gopher_filter
+from ..operators.dedup import exact_dedup, latest_capture
+from ..operators.signatures import with_doc_id
+from .pipeline import DedupPipeline
+
+
+@dataclass
+class CurationResult:
+    captures: DataFrame
+    exact_kept: DataFrame
+    quality: DataFrame
+    clusters: DataFrame
+    survivors: DataFrame
+    funnel: DataFrame
+    stages_run: list[str] = field(default_factory=list)
+    stages_resumed: list[str] = field(default_factory=list)
+
+
+class CurationPipeline:
+    """Staged curation funnel with committed, resumable stage tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str,
+        cfg: SketchConfig | None = None,
+        gopher_kwargs: dict | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or SketchConfig()
+        self.gopher_kwargs = gopher_kwargs or {}
+        # the near-dup tier owns the store (same root → one lineage table)
+        self.dedup = DedupPipeline(spark, checkpoint_root, self.cfg)
+        self.store = self.dedup.store
+
+    def _stage(self, name, compute, resume, ran, reused):
+        import time
+
+        if resume and self.store.is_committed(name):
+            reused.append(name)
+            return self.store.read(name)
+        t0 = time.time()
+        out = self.store.write(name, compute(), time.time() - t0)
+        ran.append(name)
+        return out
+
+    def run(
+        self,
+        raw: DataFrame,
+        resume: bool = True,
+        url_col: str = "url",
+        ts_col: str = "warc_ts",
+        text_col: str = "text",
+    ) -> CurationResult:
+        ran: list[str] = []
+        reused: list[str] = []
+
+        captures = self._stage(
+            "captures",
+            lambda: with_doc_id(
+                latest_capture(raw, key_col=url_col, ts_col=ts_col),
+                url_col=url_col,
+            ),
+            resume, ran, reused,
+        )
+        exact_kept = self._stage(
+            "exact_kept",
+            lambda: exact_dedup(captures, text_col=text_col),
+            resume, ran, reused,
+        )
+        quality = self._stage(
+            "quality",
+            lambda: gopher_filter(
+                exact_kept, text_col=text_col, **self.gopher_kwargs
+            ),
+            resume, ran, reused,
+        )
+        passed = exact_kept.join(
+            quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        near = self.dedup.run(passed, resume=resume, text_col=text_col)
+        ran += near.stages_run
+        reused += near.stages_resumed
+        survivors = self._stage(
+            "survivors",
+            lambda: passed.join(
+                near.clusters.filter(
+                    F.col("doc_id") == F.col("cluster_id")
+                ).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ),
+            resume, ran, reused,
+        )
+        funnel = self._stage(
+            "funnel",
+            lambda: self._funnel(raw, captures, exact_kept, passed, survivors),
+            resume, ran, reused,
+        )
+        return CurationResult(
+            captures=captures,
+            exact_kept=exact_kept,
+            quality=quality,
+            clusters=near.clusters,
+            survivors=survivors,
+            funnel=funnel,
+            stages_run=ran,
+            stages_resumed=reused,
+        )
+
+    def _funnel(self, raw, captures, exact_kept, passed, survivors):
+        # one count() job per tier boundary — six scalar jobs on committed
+        # stage tables, not a hot path
+        rows = []
+        n_prev = raw.count()
+        rows.append(("raw", n_prev, n_prev))
+        for name, df in (
+            ("latest_capture", captures),
+            ("exact_dedup", exact_kept),
+            ("quality_gate", passed),
+            ("near_dup", survivors),
+        ):
+            n = df.count()
+            rows.append((name, n_prev, n))
+            n_prev = n
+        return self.spark.createDataFrame(
+            rows, "stage string, n_in long, n_out long"
+        ).withColumn("dropped", F.col("n_in") - F.col("n_out"))

@@ -1,0 +1,86 @@
+"""End-to-end curation funnel (plans/curation.py): recrawl → exact →
+quality → near-dup, committed stages, resume, funnel audit."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.fixtures import corpus_to_spark, generate_corpus
+from localitysensitivesketch_spark.plans.curation import CurationPipeline
+
+GOPHER = dict(min_tokens=5, min_stopword_ratio=0.0)  # fixture corpus is gibberish
+
+
+def _raw(spark):
+    corpus = generate_corpus(n_docs=150, seed=13, dup_fraction=0.3)
+    df = corpus_to_spark(spark, corpus)
+    # plant a recrawl: a NEWER capture of url[0] with different text — the
+    # funnel must keep exactly this capture's text for that url
+    extra = spark.createDataFrame(
+        [
+            Row(
+                url=corpus.url[0],
+                warc_ts=datetime(2030, 1, 1),
+                html=b"<html>recrawl</html>",
+                text="recrawl fresh text totally unlike anything else qq ww ee rr tt yy",
+                lang="en",
+            )
+        ],
+        df.schema,
+    )
+    return df.unionByName(extra), corpus
+
+
+def test_curation_funnel_and_recrawl_invariant(spark, tmp_path):
+    raw, corpus = _raw(spark)
+    pipe = CurationPipeline(
+        spark, str(tmp_path / "cur"), gopher_kwargs=GOPHER
+    )
+    res = pipe.run(raw)
+
+    # recrawl tier: one row per url, and url[0] carries the NEW text
+    n_urls = raw.select("url").distinct().count()
+    assert res.captures.count() == n_urls
+    got = res.captures.filter(F.col("url") == corpus.url[0]).collect()[0]
+    assert got["text"].startswith("recrawl fresh text")
+
+    # funnel is a consistent chain: n_in of each stage == n_out of previous,
+    # counts only ever shrink, and the near-dup tier actually collapsed
+    # some of the 30% planted duplicates
+    rows = {r["stage"]: r for r in res.funnel.collect()}
+    order = ["raw", "latest_capture", "exact_dedup", "quality_gate", "near_dup"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["n_in"] == rows[prev]["n_out"]
+        assert rows[cur]["n_out"] <= rows[cur]["n_in"]
+        assert rows[cur]["dropped"] == rows[cur]["n_in"] - rows[cur]["n_out"]
+    assert rows["near_dup"]["n_out"] < rows["near_dup"]["n_in"]
+    assert res.survivors.count() == rows["near_dup"]["n_out"]
+
+    # survivors are cluster canonicals: doc_id == cluster_id for each
+    surv_ids = {r["doc_id"] for r in res.survivors.select("doc_id").collect()}
+    canon = {
+        r["doc_id"]
+        for r in res.clusters.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).collect()
+    }
+    assert surv_ids <= canon
+
+
+def test_curation_resume_reuses_every_stage(spark, tmp_path):
+    raw, _ = _raw(spark)
+    root = str(tmp_path / "cur")
+    pipe = CurationPipeline(spark, root, gopher_kwargs=GOPHER)
+    first = pipe.run(raw)
+    assert first.stages_run and not first.stages_resumed
+
+    again = CurationPipeline(spark, root, gopher_kwargs=GOPHER).run(raw)
+    assert not again.stages_run, again.stages_run
+    assert set(again.stages_resumed) >= {"captures", "exact_kept", "quality",
+                                         "survivors", "funnel"}
+    a = sorted(map(tuple, first.survivors.select("url", "text").collect()))
+    b = sorted(map(tuple, again.survivors.select("url", "text").collect()))
+    assert a == b
