@@ -446,6 +446,22 @@ def _q_decontamination(spark, sf_dir):
     )
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization on urls synthesized deterministically from the
+    documents table (testdata has no url column) — exercises every rule:
+    case, default port, trailing slashes, unsorted query, fragment."""
+    from localitysensitivesketch_spark.operators.urls import normalize_urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example-"), F.col("source"), F.lit(".COM:80/Path/"),
+            F.col("doc_id").cast("string"), F.lit("//?b=2&a=1&c=3#frag"),
+        ).alias("url"),
+    )
+    return normalize_urls(docs).select("doc_id", "canonical_url", "host")
+
+
 def _q_bpe_token_stats(spark, sf_dir):
     """Token counting under the BPE-style pre-tokenizer (letter/digit/
     punct runs — RE2-compatible so the oracle runs the same pattern)."""
@@ -510,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "gopher_filter": _q_gopher_filter,
         "bpe_token_stats": _q_bpe_token_stats,
+        "url_normalize": _q_url_normalize,
     }
 
 
@@ -1180,6 +1197,47 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "url_normalize": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     'HTTP://Example-' || source || '.COM:80/Path/'
+                       || CAST(doc_id AS VARCHAR) || '//?b=2&a=1&c=3#frag'
+                       AS url
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+              FROM synth
+            ), s2 AS (
+              SELECT doc_id, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(u,
+                    '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$', 1)),
+                  '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1') AS sh,
+                regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$', 2) AS rest
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, url, sh,
+                regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                               '/+$', '') AS path,
+                regexp_extract(rest, '\?(.*)$', 1) AS q
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id,
+                CASE WHEN sh = '' THEN url
+                     ELSE sh || path ||
+                       CASE WHEN q <> ''
+                            THEN '?' || array_to_string(
+                                   list_sort(string_split(q, '&')), '&')
+                            ELSE '' END
+                END AS canonical_url
+              FROM s3
+            )
+            SELECT doc_id, canonical_url,
+                   lower(regexp_extract(canonical_url, '://([^/:?#]*)', 1))
+                     AS host
+            FROM s4
+        """,
         "bpe_token_stats": """
             SELECT doc_id,
                    len(toks) AS n_tokens,

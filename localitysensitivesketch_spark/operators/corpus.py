@@ -323,11 +323,13 @@ def gopher_filter(
     comma-joined failed slugs in fixed alphabetical order (empty string
     when keep), so the result is deterministic and SQL-comparable.
 
-    Plan shape: one scan computes all per-row ratios (no second pass over
-    text); the only shuffles are the per-doc n-gram aggregates of
-    :func:`repetition_stats`, whose exchanges carry (doc_id, gram) rows —
-    text itself never shuffles.  A row whose ratio is undefined (empty
-    text) fails only the token-count rule, not every ratio rule.
+    Plan shape: two scans of the pruned (id, text) projection — one
+    computes every per-row ratio in a single select, the other feeds the
+    per-doc n-gram aggregates of :func:`repetition_stats` (cache the
+    projection upstream to pay the text read once).  The only shuffles
+    carry (doc_id, gram) rows and the tiny per-doc stat rows — text
+    itself never shuffles.  A row whose ratio is undefined (empty text)
+    never fires that ratio's rule.
     """
     from .textstats import _PUNCT_PAT
 

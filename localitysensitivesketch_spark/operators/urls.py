@@ -1,0 +1,66 @@
+"""URL canonicalization — the recrawl tier's key projection.
+
+Common-Crawl-style corpora carry the same page under cosmetically
+different urls (scheme/host case, default ports, fragments, query-param
+order, trailing slashes).  :func:`normalize_urls` derives a canonical
+form so :func:`~..operators.dedup.latest_capture` and url-keyed joins
+collapse those variants; the raw ``url`` column is never rewritten (the
+same derived-projection rule as ``functions/text.py`` — input_hint
+invariant).
+
+All steps are built-in regex/array column functions (JVM-side, inside
+whole-stage codegen, no Python), chosen so the identical pipeline runs
+in a DuckDB/RE2 oracle:
+
+1. strip the fragment (``#...``)
+2. lowercase scheme+host (path/query case is preserved — it is
+   significant on most servers)
+3. drop default ports (``http://…:80``, ``https://…:443``)
+4. strip trailing slashes from the path
+5. sort query parameters (``?b=2&a=1`` → ``?a=1&b=2``); a bare ``?`` is
+   dropped
+
+A url with no ``scheme://host`` prefix is passed through unchanged
+(opaque ids stay stable rather than half-normalized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPLIT_PAT = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$"
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.regexp_replace(url, "#.*", "")
+    sh = F.lower(F.regexp_extract(u, _SPLIT_PAT, 1))
+    sh = F.regexp_replace(sh, "^(http://.*):80$", "$1")
+    sh = F.regexp_replace(sh, "^(https://.*):443$", "$1")
+    rest = F.regexp_extract(u, _SPLIT_PAT, 2)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    canon = F.concat(
+        sh,
+        path,
+        F.when(
+            query != F.lit(""),
+            F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+        ).otherwise(F.lit("")),
+    )
+    return F.when(sh == F.lit(""), url).otherwise(canon)
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of a (canonical or raw) url, '' when opaque —
+    the blocking/stats key for per-domain aggregation."""
+    return F.lower(F.regexp_extract(url, r"://([^/:?#]*)", 1))
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Adds ``canonical_url`` and ``host`` derived columns (raw url kept)."""
+    return df.withColumn(out_col, canonical_url(F.col(url_col))).withColumn(
+        "host", url_host(F.col(out_col))
+    )

@@ -732,3 +732,34 @@ def test_token_stats_bpe_pretokenizer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         T.token_stats(df, tokenizer="nope")
+
+
+def test_url_canonicalization_rules(spark):
+    from localitysensitivesketch_spark.operators.urls import normalize_urls
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/B/?z=1&a=2#frag": ("http://www.ex.com/A/B?a=2&z=1", "www.ex.com"),
+        "https://Ex.com:443/": ("https://ex.com", "ex.com"),
+        "https://ex.com:8443/x": ("https://ex.com:8443/x", "ex.com"),  # non-default port kept
+        "http://ex.com/path?": ("http://ex.com/path", "ex.com"),       # bare ? dropped
+        "not-a-url-opaque-id-123": ("not-a-url-opaque-id-123", ""),    # passthrough
+        "ftp://Mixed.Case/KeepPathCase": ("ftp://mixed.case/KeepPathCase", "mixed.case"),
+    }
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)], "i long, url string")
+    out = {r["url"]: (r["canonical_url"], r["host"]) for r in normalize_urls(df).collect()}
+    for raw, want in cases.items():
+        assert out[raw] == want, (raw, out[raw], want)
+
+
+def test_url_canonical_collapses_recrawl_variants(spark):
+    # the curation use: cosmetic variants of one page share a canonical key
+    from localitysensitivesketch_spark.operators.urls import normalize_urls
+
+    variants = [
+        "http://A.com/p?x=1&y=2",
+        "HTTP://a.COM/p/?y=2&x=1",
+        "http://a.com:80/p?y=2&x=1#top",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], "i long, url string")
+    canon = {r["canonical_url"] for r in normalize_urls(df).collect()}
+    assert canon == {"http://a.com/p?x=1&y=2"}
