@@ -40,6 +40,7 @@ from ..config import SketchConfig
 from ..operators.corpus import gopher_filter
 from ..operators.dedup import exact_dedup, latest_capture
 from ..operators.signatures import with_doc_id
+from ..operators.urls import normalize_urls
 from .pipeline import DedupPipeline
 
 
@@ -90,18 +91,31 @@ class CurationPipeline:
         url_col: str = "url",
         ts_col: str = "warc_ts",
         text_col: str = "text",
+        canonicalize: bool = False,
     ) -> CurationResult:
+        """``canonicalize=True`` collapses cosmetic url variants
+        (case/port/fragment/slash/query-order — ``operators/urls.py``)
+        BEFORE the recrawl tier: captures are keyed (and doc ids hashed)
+        by ``canonical_url``, so two crawls of ``http://A.com/p`` and
+        ``http://a.com:80/p/`` count as one page.  Off by default — with
+        it on, the per-url byte-identity invariant is keyed by canonical
+        url."""
         ran: list[str] = []
         reused: list[str] = []
 
-        captures = self._stage(
-            "captures",
-            lambda: with_doc_id(
+        def _captures():
+            if canonicalize:
+                keyed = normalize_urls(raw, url_col=url_col)
+                return with_doc_id(
+                    latest_capture(keyed, key_col="canonical_url", ts_col=ts_col),
+                    url_col="canonical_url",
+                )
+            return with_doc_id(
                 latest_capture(raw, key_col=url_col, ts_col=ts_col),
                 url_col=url_col,
-            ),
-            resume, ran, reused,
-        )
+            )
+
+        captures = self._stage("captures", _captures, resume, ran, reused)
         exact_kept = self._stage(
             "exact_kept",
             lambda: exact_dedup(captures, text_col=text_col),

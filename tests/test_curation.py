@@ -84,3 +84,25 @@ def test_curation_resume_reuses_every_stage(spark, tmp_path):
     a = sorted(map(tuple, first.survivors.select("url", "text").collect()))
     b = sorted(map(tuple, again.survivors.select("url", "text").collect()))
     assert a == b
+
+
+def test_curation_canonicalize_collapses_url_variants(spark, tmp_path):
+    raw, corpus = _raw(spark)
+    # cosmetic variant of url[1], OLDER ts, different text — with
+    # canonicalize=True it is the same page, so only the newer capture of
+    # the canonical url survives the recrawl tier
+    variant = corpus.url[1].replace("https://", "HTTPS://") + "/?#frag"
+    extra = spark.createDataFrame(
+        [Row(url=variant, warc_ts=datetime(2000, 1, 1),
+             html=b"<old>", text="stale variant text", lang="en")],
+        raw.schema,
+    )
+    pipe = CurationPipeline(
+        spark, str(tmp_path / "cur"), gopher_kwargs=GOPHER
+    )
+    res = pipe.run(raw.unionByName(extra), canonicalize=True)
+    caps = res.captures.filter(
+        F.col("canonical_url").contains(corpus.url[1].replace("https://", ""))
+    ).collect()
+    assert len(caps) == 1
+    assert caps[0]["text"] != "stale variant text"
