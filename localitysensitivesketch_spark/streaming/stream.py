@@ -121,9 +121,16 @@ def incremental_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     full_pipeline: bool = False,
+    pre_filter=None,
 ) -> StreamingQuery:
     """W1 window-flush analogue via ``foreachBatch``: every micro-batch
 
+    0. optionally applies ``pre_filter`` (a ``DataFrame → DataFrame``
+       projection/filter, e.g. ``lambda d: d.join(gopher_filter(d)
+       .filter("keep").select("doc_id"), "doc_id", "left_semi")``) so
+       curation tiers like the quality gate run incrementally — the
+       filter sees ONLY the batch, so it must be per-document (stateless
+       across batches), which every hygiene rule here is,
     1. computes signatures for the batch's docs,
     2. joins the batch's band keys against the accumulated store
        (new-vs-old candidates) and within the batch itself (new-vs-new),
@@ -142,6 +149,8 @@ def incremental_candidates(
     ckpt = os.path.join(store_root, "_stream_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
         process_incremental_batch(
             spark, batch_df, batch_id, cfg, store_root,
             id_col=id_col, text_col=text_col, full_pipeline=full_pipeline,

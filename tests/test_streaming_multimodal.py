@@ -74,6 +74,36 @@ def test_incremental_candidates_stream_matches_batch(spark, tmp_path):
     assert got_pairs == expect
 
 
+def test_incremental_candidates_pre_filter_gates_batches(spark, tmp_path):
+    """``pre_filter`` runs a per-document curation tier inside the stream:
+    the store must equal a batch run over ONLY the docs the filter keeps."""
+    path, docs = _write_docs(spark, tmp_path, n=80, seed=23)
+    keep = F.col("doc_id") % 3 != 0  # stateless per-doc rule, any tier shape
+    stream = ST.read_document_stream(
+        spark, path,
+        schema="url string, warc_ts timestamp, html binary, text string, "
+               "lang string, doc_id long",
+        max_files_per_trigger=1,
+    )
+    q = ST.incremental_candidates(
+        spark, stream, CFG, str(tmp_path / "store"),
+        pre_filter=lambda d: d.filter(keep),
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "store/pairs"))
+    got_pairs = {(r["id1"], r["id2"]) for r in got.collect()}
+    batch_pairs, _ = band_candidates(
+        compute_signatures(spark.read.parquet(path).filter(keep), CFG), CFG
+    )
+    expect = {(r["id1"], r["id2"]) for r in batch_pairs.collect()}
+    assert got_pairs == expect
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(path).filter(keep).collect()
+    }
+    sigs = spark.read.parquet(str(tmp_path / "store/sigs"))
+    assert {r["doc_id"] for r in sigs.collect()} <= kept_ids
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     rows = [
         ("2024-01-01 00:00:10", "a"),
