@@ -231,3 +231,71 @@ def oracle_clusters(
             else:
                 parent[ra] = rb
     return {d: find(d) for d in doc_ids}
+
+
+def oracle_ivf_centers(
+    points: list[tuple[int, list[float]]],
+    n_cells: int = 8,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Loop-based plain-python shadow of ``ivf.ivf_train`` (the SPEC, not
+    the code): quantile seeding on the (norm, id)-sorted sample, greedy
+    max-D² top-up for duplicate picks, Lloyd with low-index tie-break and
+    exactly-rounded ``math.fsum`` coordinate means.  fsum makes the means
+    independent of summation order, and distances fold sequentially in
+    coordinate order on both sides, so these centroids are bit-identical
+    to the production trainer's without sharing a line of code."""
+    import math
+
+    def sq(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for i in range(len(a)):
+            t = a[i] - b[i]
+            s = s + t * t
+        return s
+
+    if not points:
+        raise ValueError("empty sample")
+    by_norm = sorted(
+        points,
+        key=lambda p: (math.sqrt(sum_fold(p[1], p[1])), p[0]),
+    )
+    n = len(points)
+    k = min(n_cells, n)
+    centers: list[list[float]] = []
+    for j in range(k):
+        pick = by_norm[min(n - 1, ((2 * j + 1) * n) // (2 * k))][1]
+        if pick not in centers:
+            centers.append(list(pick))
+    while len(centers) < k:
+        far_i, far_d = 0, -1.0
+        for i, (_, v) in enumerate(points):
+            d = min(sq(v, c) for c in centers)
+            if d > far_d:
+                far_d, far_i = d, i
+        centers.append(list(points[far_i][1]))
+    dim = len(centers[0])
+    for _ in range(n_iter):
+        cells: list[list[list[float]]] = [[] for _ in range(k)]
+        for _, v in points:
+            best, bd = 0, sq(v, centers[0])
+            for j in range(1, k):
+                d = sq(v, centers[j])
+                if d < bd:
+                    bd, best = d, j
+            cells[best].append(v)
+        for j in range(k):
+            if cells[j]:
+                centers[j] = [
+                    math.fsum(v[c] for v in cells[j]) / len(cells[j])
+                    for c in range(dim)
+                ]
+    return centers
+
+
+def sum_fold(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product (JVM ``aggregate`` order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
