@@ -394,6 +394,39 @@ def _q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    from localitysensitivesketch_spark.operators.ivf import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=2
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from localitysensitivesketch_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "zh": 0.1}, seed=42
+    ).select("doc_id", "lang")
+
+
+def _q_mixing_rates(spark, sf_dir):
+    from localitysensitivesketch_spark.operators.sampling import mixing_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixing_rates(
+        docs,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget=100_000,
+        weight_col="n_chars",
+    )
+
+
 def _q_latest_capture(spark, sf_dir):
     """Recrawl dedup (newest capture per key).  The driver testdata has no
     url/warc_ts table, so the contract exercises the identical max_by path
@@ -519,6 +552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": _q_sketch_accuracy,
         "cluster_churn": _q_cluster_churn,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "stratified_sample": _q_stratified_sample,
+        "mixing_rates": _q_mixing_rates,
         "latest_capture": _q_latest_capture,
         "semantic_dedup": _q_semantic_dedup,
         "segment_dedup_stats": _q_segment_dedup_stats,
@@ -948,6 +984,84 @@ def _ann_golden_oracle() -> dict[str, str]:
     return out
 
 
+def _ivf_golden_oracle() -> dict[str, str]:
+    """Golden oracle for ``ann_topk_ivf``: fully independent plain-python
+    replication over the sf0.01 embeddings — centroids from the loop-based
+    shadow trainer (``oracle.oracle_ivf_centers``: quantile seeding on the
+    norm-sorted sample, fsum means — bit-identical to production without
+    shared code), cell assignment and query probing via sequential-fold
+    squared distances with low-index tie-break, then the JVM fold cosine
+    with HALF_UP r6 rounding and (cosine desc, nbr asc) ranks."""
+    out: dict[str, str] = {}
+    try:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import duckdb
+
+        from localitysensitivesketch_spark import oracle as O
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet("
+            f"'{_SF001_DIR}/embeddings.parquet')"
+        ).fetchall()
+        vecs = {int(v): [float(x) for x in e] for v, e in rows}
+        n_cells, nprobe, k = 8, 2, 5
+        sample = sorted(vecs)[:2000]
+        centers = O.oracle_ivf_centers(
+            [(i, vecs[i]) for i in sample], n_cells=n_cells, n_iter=5
+        )
+
+        def sqd(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        def argmin_cell(v):
+            best, bd = 0, sqd(v, centers[0])
+            for j in range(1, len(centers)):
+                d = sqd(v, centers[j])
+                if d < bd:
+                    bd, best = d, j
+            return best
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def r6(x):
+            return float(
+                Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
+        cell = {v: argmin_cell(vecs[v]) for v in vecs}
+        norm = {v: math.sqrt(fold_dot(e, e)) for v, e in vecs.items()}
+        golden = []
+        for q in (v for v in sorted(vecs) if v < 10):
+            probes = sorted(
+                range(len(centers)), key=lambda j: (sqd(vecs[q], centers[j]), j)
+            )[:nprobe]
+            cands = sorted(
+                {
+                    (r6(fold_dot(vecs[q], vecs[n]) / (norm[q] * norm[n])), n)
+                    for n in vecs
+                    if n != q and cell[n] in probes
+                },
+                key=lambda t: (-t[0], t[1]),
+            )
+            for rank, (cos, n) in enumerate(cands[:k], start=1):
+                golden.append((q, n, cos, rank))
+        sql = _golden_sql(sorted(golden), "query_id, nbr_id, cosine, rank")
+        if sql:
+            out["ann_topk_ivf"] = sql
+    except Exception:
+        return out
+    return out
+
+
 def _value_cluster_oracle() -> str | None:
     """Exact oracle for ``value_cluster_stats``: train centers with the
     INDEPENDENT pure-python shadow (``oracle.oracle_kmeans_1d`` — loop
@@ -1193,6 +1307,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                    / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'zh' THEN 0.1 ELSE 0.0 END
+        """,
+        "mixing_rates": """
+            WITH agg AS (
+              SELECT source AS stratum, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS weight
+              FROM documents GROUP BY source
+            )
+            SELECT stratum, n_docs, weight,
+                   round(CASE stratum WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                      WHEN 'src2' THEN 0.2 ELSE 0.0 END, 6)
+                     AS target_share,
+                   round(least(1.0, 100000.0 *
+                         CASE stratum WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                      WHEN 'src2' THEN 0.2 ELSE 0.0 END
+                         / weight), 6) AS rate
+            FROM agg
+        """,
         "decode_features": _DECODE_SQL,
         "knn_cosine_topk": _KNN_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
@@ -1424,5 +1561,6 @@ def oracle_sql() -> dict[str, str]:
         out["value_cluster_stats"] = vc
     out.update(_sketch_golden_oracles())
     out.update(_ann_golden_oracle())
+    out.update(_ivf_golden_oracle())
     out.update(_substring_golden_oracle())
     return out
