@@ -512,6 +512,62 @@ def _q_gopher_filter(spark, sf_dir):
     )
 
 
+def _sketch_state(spark, sf_dir):
+    from localitysensitivesketch_spark.operators import sketchstate as SK
+
+    return SK, SK.sketch_window_state(_t(spark, sf_dir, "events"))
+
+
+def _q_sketch_distinct_merged(spark, sf_dir):
+    """Mergeable sketch state, consumer 1: distinct users per event type
+    across all day windows, answered from per-window theta sketches only
+    (exact below the 4096-entry nominal — sf0.01 has 150 users)."""
+    SK, st = _sketch_state(spark, sf_dir)
+    return SK.merged_distinct(st).withColumnRenamed("group", "event_type")
+
+
+def _q_sketch_first_seen(spark, sf_dir):
+    """Consumer 2: per (type, day) count of users never seen in an earlier
+    day — theta_difference(today, running prior union), state-only."""
+    SK, st = _sketch_state(spark, sf_dir)
+    return SK.first_seen_counts(st).withColumnRenamed("group", "event_type")
+
+
+def _q_sketch_type_overlap(spark, sf_dir):
+    """Consumer 3: pairwise user-set overlap between event types via
+    theta_intersection on the per-type union sketches."""
+    SK, st = _sketch_state(spark, sf_dir)
+    return (
+        SK.group_overlap(st)
+        .filter(F.col("overlap_keys") > 0)
+        .withColumnRenamed("group_a", "type_a")
+        .withColumnRenamed("group_b", "type_b")
+    )
+
+
+def _q_sketch_value_quantiles(spark, sf_dir):
+    """Consumer 4: KLL merged-window quantiles.  KLL is bounded-error (not
+    exact), so the hash-checked contract asserts the guarantee itself: the
+    TRUE rank of each sketch answer is within 2 % of the requested rank
+    (k=200 ⇒ ~1.65 % at 99 % confidence).  Inclusive rank = avg(value ≤ q)."""
+    SK, st = _sketch_state(spark, sf_dir)
+    q = SK.merged_quantiles(st)
+    ev = _t(spark, sf_dir, "events")
+    joined = ev.join(
+        F.broadcast(q), ev["event_type"] == q["group"], "inner"
+    )
+    rank = lambda qc: F.avg((F.col("value") <= F.col(qc)).cast("double"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.abs(rank("q50") - 0.5) <= 0.02).alias("q50_ok"),
+            (F.abs(rank("q90") - 0.9) <= 0.02).alias("q90_ok"),
+            (F.abs(rank("q99") - 0.99) <= 0.02).alias("q99_ok"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -555,6 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "stratified_sample": _q_stratified_sample,
         "mixing_rates": _q_mixing_rates,
+        "sketch_distinct_merged": _q_sketch_distinct_merged,
+        "sketch_first_seen": _q_sketch_first_seen,
+        "sketch_type_overlap": _q_sketch_type_overlap,
+        "sketch_value_quantiles": _q_sketch_value_quantiles,
         "latest_capture": _q_latest_capture,
         "semantic_dedup": _q_semantic_dedup,
         "segment_dedup_stats": _q_segment_dedup_stats,
@@ -1329,6 +1389,44 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'src2' THEN 0.2 ELSE 0.0 END
                          / weight), 6) AS rate
             FROM agg
+        """,
+        "sketch_distinct_merged": """
+            SELECT event_type,
+                   count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_windows,
+                   count(DISTINCT user_id) AS distinct_keys
+            FROM events GROUP BY event_type
+        """,
+        "sketch_first_seen": """
+            WITH w AS (
+              SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS window_start
+              FROM events
+            ),
+            f AS (
+              SELECT event_type, user_id,
+                     min(strftime(ts, '%Y-%m-%d')) AS window_start
+              FROM events GROUP BY event_type, user_id
+            ),
+            c AS (
+              SELECT event_type, window_start, count(*) AS n
+              FROM f GROUP BY event_type, window_start
+            )
+            SELECT w.event_type, w.window_start,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS first_seen
+            FROM w LEFT JOIN c USING (event_type, window_start)
+        """,
+        "sketch_type_overlap": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS overlap_keys
+            FROM s a JOIN s b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            HAVING count(*) > 0
+        """,
+        "sketch_value_quantiles": """
+            SELECT event_type, count(*) AS n_rows,
+                   TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+            FROM events GROUP BY event_type
         """,
         "decode_features": _DECODE_SQL,
         "knn_cosine_topk": _KNN_SQL,

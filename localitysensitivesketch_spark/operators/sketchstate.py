@@ -1,0 +1,188 @@
+"""Mergeable sketch state: windowed sketch producers + merge-time consumers.
+
+Reference analogue: the producer/consumer split at the heart of the
+reference — ``Ingest/Sub4SketchingKVStream.java`` builds per-window sketch
+state and publishes it; ``Query/Consumer4sketch.java:201-269`` answers the
+per-window query suite by reading SKETCH STATE, never raw traffic.  Here
+the state rows hold Apache DataSketches summaries built by Spark's native
+JVM aggregates (no UDFs): a theta sketch of the keys and a KLL sketch of
+the values per (group, window).  Each state row is a few KB regardless of
+how many raw rows fed it, and every consumer below runs on the state table
+only — distinct counts, first-seen counts, set overlaps and quantiles over
+any window range without rescanning raw data.  At 100 TB this is the
+difference between re-scanning the corpus per question and answering from
+a (groups × windows)-row table.
+
+Exactness regime (probed, pinned by tests): a theta sketch at the default
+nominal 4096 entries is LOSSLESS below 4096 distinct keys — estimates,
+unions, intersections and set differences are exact integers there, which
+lets the sf0.01 contract queries hash-match a DuckDB ``COUNT(DISTINCT)``
+oracle bit-for-bit.  Above the nominal the very same plans degrade
+gracefully to a bounded relative error (~1.6 % at nominal 4096) — the
+scale path, with no query rewrite.  KLL (k = 200) is bounded-error from a
+few hundred values on (~1.65 % rank error at 99 % confidence, pinned by
+test) and follows the inverted-CDF (nearest-rank) convention — the same
+convention as DuckDB's ``quantile_disc``.  Unlike theta, KLL compaction
+depends on merge order, so quantile answers are rank-bounded rather than
+bit-stable across partition layouts.
+
+Why sketches and not exact aggregates: ``COUNT(DISTINCT)`` does not
+decompose over unions (day-level exact counts cannot be added into a
+month), so exact answers need a rescan per question.  Sketch state is
+mergeable — one shuffle builds it, every later question is an agg over
+kilobytes.  This is the reference's entire architectural bet
+(``LSSFingerprintAtomic.java``), realized with Spark-native sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _day(ts_col: str, fmt: str) -> F.Column:
+    return F.date_format(ts_col, fmt)
+
+
+def sketch_window_state(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_fmt: str = "yyyy-MM-dd",
+) -> DataFrame:
+    """Producer: per (group, window) mergeable sketch state.
+
+    One hash-aggregate shuffle over the raw table (partial + final, all
+    JVM-side) → ``(group, window_start, key_sketch, value_sketch,
+    n_rows)``.  The sketch columns are binary, a few KB each; the state
+    table is (groups × windows) rows no matter how large the input.
+    The S6 "sketch producer" analog (``Sub4SketchingKVStream.java``) with
+    real mergeable summaries.
+    """
+    return events.groupBy(
+        F.col(group_col).alias("group"),
+        _day(ts_col, window_fmt).alias("window_start"),
+    ).agg(
+        F.theta_sketch_agg(key_col).alias("key_sketch"),
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
+            "value_sketch"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def merged_distinct(state: DataFrame) -> DataFrame:
+    """Consumer: distinct keys per group across ALL windows, from state only.
+
+    ``theta_union_agg`` merges the per-window sketches (order-insensitive,
+    partition-invariant); the estimate is exact below the sketch nominal.
+    Reference: cumulative distinct-count query, ``Consumer4sketch.java``.
+    """
+    return (
+        state.groupBy("group")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(
+                F.theta_sketch_estimate(F.theta_union_agg("key_sketch"))
+            )
+            .cast("long")
+            .alias("distinct_keys"),
+        )
+    )
+
+
+def first_seen_counts(state: DataFrame) -> DataFrame:
+    """Consumer: per (group, window) count of keys NEVER seen in an earlier
+    window of the same group — from state only.
+
+    ``theta_difference(today, union(all prior windows))``; the prior union
+    is a running window aggregate partitioned by group, so the window
+    operator runs over the tiny state table (windows-per-group rows per
+    partition), never raw data.  Day one diffs against the empty sketch
+    (estimate 0 prior), so every window emits a row.  Reference: the
+    heavy-change / new-key query family (``Consumer4sketch.java``,
+    ``QueryLSSFingerFlowApps.java:333-459``) — answered here as a set
+    difference of summaries instead of a raw-key join.
+    """
+    prior = Window.partitionBy("group").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return state.select(
+        "group",
+        "window_start",
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(
+                    "key_sketch", F.theta_union_agg("key_sketch").over(prior)
+                )
+            )
+        )
+        .cast("long")
+        .alias("first_seen"),
+    )
+
+
+def group_overlap(state: DataFrame) -> DataFrame:
+    """Consumer: pairwise key-set overlap between groups, from state only.
+
+    Per-group union first (groups rows), then a broadcast self-join on
+    ``group_a < group_b`` and ``theta_intersection`` per pair — the J2
+    set-intersection analog (``QueryLSSFingerFlowApps.java:412-459``)
+    computed on summaries.  The join input has one row per group, so the
+    pair table is groups², never rows².
+    """
+    per_group = state.groupBy("group").agg(
+        F.theta_union_agg("key_sketch").alias("sk")
+    )
+    a = per_group.select(
+        F.col("group").alias("group_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_group.select(
+        F.col("group").alias("group_b"), F.col("sk").alias("sk_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+            )
+            .cast("long")
+            .alias("overlap_keys"),
+        )
+    )
+
+
+def merged_quantiles(
+    state: DataFrame, probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Consumer: value quantiles per group across all windows, from state.
+
+    ``kll_merge_agg_double`` merges the per-window KLL sketches, then one
+    ``get_quantile`` per requested rank.  Inverted-CDF convention (=
+    DuckDB ``quantile_disc``), rank error ≤ ~1.65 % at k = 200 — the A7
+    percentile-threshold scale path with mergeable state.
+    """
+    merged = state.groupBy("group").agg(
+        F.kll_merge_agg_double("value_sketch").alias("kll")
+    )
+    cols = [
+        F.round(
+            F.kll_sketch_get_quantile_double("kll", F.lit(float(p))), 6
+        ).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return merged.select("group", *cols)
+
+
+__all__ = [
+    "sketch_window_state",
+    "merged_distinct",
+    "first_seen_counts",
+    "group_overlap",
+    "merged_quantiles",
+]

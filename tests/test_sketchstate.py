@@ -1,0 +1,150 @@
+"""Mergeable sketch state (operators/sketchstate.py).
+
+Pins the exactness regime the module documents: below the theta nominal
+(4096) / KLL capacity, every consumer answer equals the exact answer
+computed from raw rows — and the state is partition-invariant, so any
+executor layout produces identical answers.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.operators import sketchstate as S
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 3 groups x 6 days, keys drawn so groups overlap and new keys appear
+    # over time; deterministic (no RNG).
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(4000):
+        g = ["a", "b", "c"][i % 3]
+        day = (i * 7) % 6
+        key = (i * 37 + day * 11) % 311  # < theta nominal: exact regime
+        val = float((i * 13) % 997) / 7.0
+        rows.append((g, base + datetime.timedelta(days=day), key, val))
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id long, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def state(events):
+    return S.sketch_window_state(events).localCheckpoint()
+
+
+def test_state_shape_is_groups_by_windows(events, state):
+    n_cells = events.select("event_type", F.to_date("ts")).distinct().count()
+    assert state.count() == n_cells
+    assert set(state.columns) == {
+        "group", "window_start", "key_sketch", "value_sketch", "n_rows",
+    }
+
+
+def test_merged_distinct_exact_below_nominal(events, state):
+    got = {
+        (r["group"]): (r["n_windows"], r["distinct_keys"])
+        for r in S.merged_distinct(state).collect()
+    }
+    exact = {
+        r["event_type"]: (r["w"], r["d"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("w"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    assert got == exact
+
+
+def test_first_seen_matches_min_window(events, state):
+    got = {
+        (r["group"], r["window_start"]): r["first_seen"]
+        for r in S.first_seen_counts(state).collect()
+    }
+    first = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("w0"))
+        .groupBy("event_type", "w0")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    exact = {(r["event_type"], r["w0"]): r["n"] for r in first}
+    # every (group, window) emits a row; windows with no new keys are 0
+    assert sum(got.values()) == sum(exact.values())
+    for k, v in exact.items():
+        assert got[k] == v
+    for k, v in got.items():
+        assert v == exact.get(k, 0)
+
+
+def test_group_overlap_exact(events, state):
+    got = {
+        (r["group_a"], r["group_b"]): r["overlap_keys"]
+        for r in S.group_overlap(state).collect()
+    }
+    sets = {
+        g: {
+            r["user_id"]
+            for r in events.filter(F.col("event_type") == g)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for g in ("a", "b", "c")
+    }
+    assert got == {
+        ("a", "b"): len(sets["a"] & sets["b"]),
+        ("a", "c"): len(sets["a"] & sets["c"]),
+        ("b", "c"): len(sets["b"] & sets["c"]),
+    }
+
+
+def test_merged_quantiles_rank_error_bound(events, state):
+    # KLL k=200 guarantees ~1.65% rank error at 99% confidence; assert the
+    # merged-sketch answer's TRUE rank is within 2% of the requested rank.
+    got = {
+        r["group"]: (r["q50"], r["q90"], r["q99"])
+        for r in S.merged_quantiles(state).collect()
+    }
+    for g in ("a", "b", "c"):
+        vals = np.sort(
+            np.array(
+                [
+                    r["value"]
+                    for r in events.filter(F.col("event_type") == g)
+                    .select("value")
+                    .collect()
+                ]
+            )
+        )
+        n = len(vals)
+        for p, q in zip((0.5, 0.9, 0.99), got[g]):
+            true_rank = np.searchsorted(vals, q, side="right") / n
+            assert abs(true_rank - p) <= 0.02, (g, p, q, true_rank)
+
+
+def test_state_is_partition_invariant(events, state):
+    # theta consumers are bit-deterministic across partition layouts (the
+    # sketch is a pure function of the key SET); KLL compaction depends on
+    # merge order, so quantiles get the rank-bound test above instead.
+    other = S.sketch_window_state(events.repartition(17))
+    for fn in (S.merged_distinct, S.first_seen_counts, S.group_overlap):
+        a = sorted(map(tuple, fn(state).collect()))
+        b = sorted(map(tuple, fn(other).collect()))
+        assert a == b, fn.__name__
+
+
+def test_all_consumers_jvm_only(state):
+    for fn in (S.merged_distinct, S.first_seen_counts, S.group_overlap,
+               S.merged_quantiles):
+        plan = fn(state)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
