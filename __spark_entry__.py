@@ -112,6 +112,16 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Directional token-set containment at t=1.0 (exact subset pairs) —
+    the asymmetric dedup tier symmetric Jaccard cannot see.  On this
+    corpus's degenerate vocabulary the probe is each doc's single rarest
+    token and every index bucket takes the salted path."""
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=1.0
+    )
+
+
 def _q_cluster_token_cc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     edges = D.ngram_jaccard_pairs(
@@ -581,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "language_id": _q_language_id,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "containment_pairs": _q_containment_pairs,
         "cluster_token_cc": _q_cluster_token_cc,
         "count_per_key_user": _q_count_per_key_user,
         "heavy_hitters_users": _q_heavy_hitters_users,
@@ -633,6 +644,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = (
     "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
 )
+
+_CONTAINMENT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE trim(text) <> ''
+)
+SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 6)
+         AS containment
+FROM t a JOIN t b ON a.doc_id <> b.doc_id
+WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 6) >= 1.0
+"""
 
 _QUALITY_SQL = """
 SELECT doc_id,
@@ -1261,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "language_id": _LANG_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "containment_pairs": _CONTAINMENT_SQL,
         "cluster_token_cc": _CC_SQL,
         "count_per_key_user": "SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id",
         "heavy_hitters_users": """

@@ -140,6 +140,106 @@ def pairs_by_key(
     return pairs, metrics
 
 
+def probe_index_pairs(
+    probe: DataFrame,
+    index: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    hot_threshold: int = HOT_THRESHOLD,
+    payload_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Asymmetric membership probe: every (probe_id, index_id) pair sharing
+    ≥1 key, ``probe_id != index_id`` — the directional analogue of
+    :func:`pairs_by_key` for joins where only ONE side may prune its keys
+    (containment prefix filter: the contained side probes its rare-token
+    prefix, the container side must index every token).
+
+    Skew is classified by INDEX-side bucket width — that is the side whose
+    hot keys (stopword-grade tokens) explode pair production.  Hot index
+    buckets are split ``cfg.salt_factor`` ways by index-doc hash and the
+    probe rows are replicated to every salt, so each (probe row, hot key)
+    still meets every index row exactly once.  LOSSLESS by construction
+    (no drop tier): callers bound probe fan-out by construction instead
+    (a prefix filter keeps probe keys few and globally rare).
+
+    Returns (pairs, metrics); payload columns ride along as ``{col}_p`` /
+    ``{col}_i``.  Pairs are distinct (probe_id, index_id, payloads) rows.
+    """
+    probe = probe.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in payload_cols],
+    )
+    index = index.select(
+        F.col(id_col).alias("index_id"),
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in payload_cols],
+    )
+
+    widths = (
+        index.groupBy("key")
+        .agg(F.count("*").alias("width"))
+        .localCheckpoint(eager=False)
+    )
+    metrics = widths.select(
+        F.when(F.col("width") > hot_threshold, F.lit("salted"))
+        .otherwise(F.lit("kept"))
+        .alias("bucket_class"),
+        "width",
+    ).groupBy("bucket_class").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("width").alias("n_rows"),
+        F.max("width").alias("max_width"),
+    )
+
+    special = widths.filter(F.col("width") > hot_threshold).select(
+        "key", F.lit(True).alias("hot")
+    )
+    marked_p = probe.join(F.broadcast(special), "key", "left")
+    marked_i = index.join(F.broadcast(special), "key", "left")
+
+    def _sel(side: str, alias: str, suffix: str):
+        return [F.col(f"{side}.{alias}")] + [
+            F.col(f"{side}.{c}").alias(f"{c}_{suffix}") for c in payload_cols
+        ]
+
+    p = marked_p.filter(F.col("hot").isNull()).drop("hot").alias("p")
+    i = marked_i.filter(F.col("hot").isNull()).drop("hot").alias("i")
+    pairs_normal = (
+        p.join(i, F.col("p.key") == F.col("i.key"))
+        .filter(F.col("p.probe_id") != F.col("i.index_id"))
+        .select(*_sel("p", "probe_id", "p"), *_sel("i", "index_id", "i"))
+    )
+
+    s = cfg.salt_factor
+    hp = (
+        marked_p.filter(F.col("hot").isNotNull())
+        .drop("hot")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        .alias("hp")
+    )
+    hi = (
+        marked_i.filter(F.col("hot").isNotNull())
+        .drop("hot")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("index_id")), F.lit(s)).cast("int")
+        )
+        .alias("hi")
+    )
+    pairs_hot = (
+        hp.join(
+            hi,
+            (F.col("hp.key") == F.col("hi.key"))
+            & (F.col("hp.salt") == F.col("hi.salt")),
+        )
+        .filter(F.col("hp.probe_id") != F.col("hi.index_id"))
+        .select(*_sel("hp", "probe_id", "p"), *_sel("hi", "index_id", "i"))
+    )
+
+    return pairs_normal.unionByName(pairs_hot).distinct(), metrics
+
+
 def band_candidates(
     signatures: DataFrame, cfg: SketchConfig
 ) -> tuple[DataFrame, DataFrame]:

@@ -260,6 +260,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: SketchConfig | None = None,
+) -> DataFrame:
+    """Directional token-set containment: every ordered pair with
+    ``|T(a) ∩ T(b)| / |T(a)| ≥ t``, emitted as
+    ``(id_contained, id_container, containment)`` — the quote / boilerplate
+    / subset detector a training-data pipeline runs where symmetric Jaccard
+    is blind (a 50-token quote inside a 5,000-token page has Jaccard ≈ 0.01
+    but containment 1.0).
+
+    EXACT at any threshold.  Prefix-filter lemma for containment: order
+    each doc's tokens by global document frequency (rarest first); if
+    ``C(a→b) ≥ t`` then at most ``|a| − ceil(t·|a|)`` of a's tokens miss
+    T(b), so a's prefix of length ``|a| − ceil(t·|a|) + 1`` must intersect
+    T(b).  Only the contained side can prune — the container side indexes
+    ALL its tokens — so candidates come from the asymmetric
+    :func:`~..operators.candidates.probe_index_pairs` join (prefix tokens
+    probe the full inverted index; hot index buckets salted, nothing
+    dropped).  A size prune (``|b| ≥ ceil(t·|a|)``) rides the candidate
+    row before the exact array-intersect verify.  At ``t = 1`` the probe
+    is a single token per doc (its globally rarest).
+
+    Unlike Jaccard, containment is not symmetric: both directions of a
+    pair are tested and emitted independently when both pass.
+    """
+    cfg = cfg or SketchConfig()
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
+    )
+    tok = base.select("doc_id", "n", F.explode("toks").alias("tok"))
+    tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tok_df").asc(), F.col("tok").asc()
+    )
+    prefix = (
+        tok.join(tok_df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    )
+    from .candidates import probe_index_pairs
+
+    cand, _ = probe_index_pairs(
+        prefix.select("doc_id", F.xxhash64("tok").alias("key"), "n"),
+        tok.select("doc_id", F.xxhash64("tok").alias("key"), "n"),
+        cfg,
+        payload_cols=("n",),
+    )
+    cand = (
+        cand.filter(F.col("n_i") >= F.ceil(F.lit(t) * F.col("n_p")))
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+    a = base.select(
+        F.col("doc_id").alias("probe_id"), F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("index_id"), F.col("toks").alias("tb"),
+    )
+    return (
+        cand.join(a, "probe_id")
+        .join(b, "index_id")
+        .select(
+            F.col("probe_id").alias("id_contained"),
+            F.col("index_id").alias("id_container"),
+            F.round(
+                F.size(F.array_intersect("ta", "tb")) / F.col("na"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= t)
+    )
+
+
 def minhash_lsh_dedup(
     documents: DataFrame,
     cfg: SketchConfig | None = None,

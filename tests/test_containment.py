@@ -1,0 +1,90 @@
+"""Directional token-set containment (dedup.containment_pairs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.fixtures import corpus_to_spark, generate_corpus
+from localitysensitivesketch_spark.operators.dedup import containment_pairs
+from localitysensitivesketch_spark.operators.signatures import with_doc_id
+
+
+def _brute(rows: list[tuple[int, str]], t: float) -> set[tuple[int, int, float]]:
+    toks = {
+        i: set(s.lower().strip().split()) - {""} for i, s in rows if s.strip()
+    }
+    out = set()
+    for a in toks:
+        for b in toks:
+            if a != b and toks[a]:
+                c = round(len(toks[a] & toks[b]) / len(toks[a]), 6)
+                if c >= t:
+                    out.add((a, b, c))
+    return out
+
+
+@pytest.mark.parametrize("t", [1.0, 0.8, 0.5])
+def test_containment_exact_vs_brute_force_planted(spark, t):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "beta gamma delta"),
+        (4, "the the the alpha"),
+        (5, "zeta eta"),
+        (6, "unique tokens only here"),
+        (7, ""),  # empty text: excluded entirely
+        (8, "the quick brown fox the lazy dog alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in containment_pairs(df, t).collect()}
+    assert got == _brute(rows, t)
+
+
+def test_containment_exact_on_degenerate_vocab_corpus(spark):
+    # the 31-token fixture vocabulary makes EVERY index bucket hot
+    # (df ≈ n_docs > HOT_THRESHOLD is false at 120 docs, so force a low
+    # threshold via cfg? no — exercise both tiers with the real corpus):
+    # correctness must hold regardless of which tier each token takes.
+    docs = with_doc_id(
+        corpus_to_spark(spark, generate_corpus(n_docs=120, seed=11))
+    ).select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = {tuple(r) for r in containment_pairs(docs, 0.9).collect()}
+    assert got == _brute(rows, 0.9)
+    assert len(got) > 0  # non-vacuous on this corpus
+
+
+def test_containment_salted_tier_equals_plain(spark):
+    # force the salted path for every token by dropping the hot threshold:
+    # monkeypatch-free — pass through probe_index_pairs via a tiny corpus
+    # where df > threshold.  Easiest honest trigger: 300 docs sharing the
+    # fixture vocabulary → token df ≈ 300 > 256 (HOT_THRESHOLD).
+    docs = with_doc_id(
+        corpus_to_spark(spark, generate_corpus(n_docs=300, seed=3))
+    ).select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = {tuple(r) for r in containment_pairs(docs, 1.0).collect()}
+    assert got == _brute(rows, 1.0)
+
+
+def test_containment_is_directional(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {tuple(r) for r in containment_pairs(df, 1.0).collect()}
+    assert got == {(1, 2, 1.0)}  # 2 is not contained in 1
+
+
+def test_containment_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_pairs(df, 0.0)
+    with pytest.raises(ValueError):
+        containment_pairs(df, 1.1)
+
+
+def test_containment_plan_no_python(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c")], "doc_id long, text string")
+    plan = containment_pairs(df, 1.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
