@@ -74,6 +74,26 @@ def sketch_window_state(
     )
 
 
+def coalesce_state(partials: DataFrame) -> DataFrame:
+    """Merge PARTIAL state rows into one canonical row per (group, window).
+
+    Mergeability is the whole point of sketch state: partials built from
+    any split of the raw rows — per micro-batch, per file, per backfill
+    job — union into exactly the state a single batch build produces
+    (theta: bit-identical below the nominal; KLL: same rank guarantees).
+    This is what lets the streaming producer (``streaming.stream.
+    stream_sketch_state``) append per-batch partials blindly and still
+    answer every consumer query exactly: the reference's
+    serialize-per-window / merge-on-read pattern
+    (``Sub4SketchingKVStream.java:419-452``).
+    """
+    return partials.groupBy("group", "window_start").agg(
+        F.theta_union_agg("key_sketch").alias("key_sketch"),
+        F.kll_merge_agg_double("value_sketch").alias("value_sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def merged_distinct(state: DataFrame) -> DataFrame:
     """Consumer: distinct keys per group across ALL windows, from state only.
 

@@ -321,3 +321,67 @@ def windowed_event_counts(
             "cnt",
         )
     )
+
+
+def stream_sketch_state(
+    spark: SparkSession,
+    events: DataFrame,
+    out_root: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_fmt: str = "yyyy-MM-dd",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming sketch producer (``Sub4SketchingKVStream.java:419-452``
+    window-flush analogue): each micro-batch builds PARTIAL per-(group,
+    window) theta/KLL state rows (``operators.sketchstate.
+    sketch_window_state``) and lands them partitioned by batch_id with
+    dynamic partition overwrite — the same idempotent-replay contract as
+    :func:`process_incremental_batch` (a replayed batch rewrites its own
+    partition, never appends duplicates).
+
+    No cross-batch reconciliation is needed at write time: sketch
+    mergeability guarantees that partials from ANY split of the rows
+    coalesce (``sketchstate.coalesce_state``) into the state a single
+    batch build produces.  Readers go through :func:`read_sketch_state`.
+    """
+    from ..operators.sketchstate import sketch_window_state
+
+    ckpt = os.path.join(out_root, "_sketch_checkpoint")
+    state_path = os.path.join(out_root, "sketch_state")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = sketch_window_state(
+            batch_df,
+            key_col=key_col,
+            value_col=value_col,
+            group_col=group_col,
+            ts_col=ts_col,
+            window_fmt=window_fmt,
+        )
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(state_path)
+
+    w = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_sketch_state(spark: SparkSession, out_root: str) -> DataFrame:
+    """Canonical sketch state from a :func:`stream_sketch_state` store:
+    reads the per-batch partials and merges them to one row per
+    (group, window) — every ``sketchstate`` consumer runs on this."""
+    from ..operators.sketchstate import coalesce_state
+
+    partials = spark.read.parquet(os.path.join(out_root, "sketch_state"))
+    return coalesce_state(partials.drop("batch_id"))

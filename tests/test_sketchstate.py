@@ -148,3 +148,74 @@ def test_all_consumers_jvm_only(state):
         plan = fn(state)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_coalesce_partials_equals_direct_build(events, state):
+    # split rows 3 ways by hash, build partial state per split, coalesce —
+    # theta consumers must equal the single-build answers bit-for-bit
+    splits = [
+        events.filter(F.pmod(F.xxhash64("user_id", "ts"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    partials = splits[0].sparkSession.createDataFrame([], S.sketch_window_state(splits[0]).schema)
+    for sp in splits:
+        partials = partials.unionByName(S.sketch_window_state(sp))
+    merged = S.coalesce_state(partials)
+    for fn in (S.merged_distinct, S.first_seen_counts, S.group_overlap):
+        a = sorted(map(tuple, fn(state).collect()))
+        b = sorted(map(tuple, fn(merged).collect()))
+        assert a == b, fn.__name__
+    # n_rows must be conserved through the merge
+    assert (
+        merged.agg(F.sum("n_rows")).first()[0]
+        == state.agg(F.sum("n_rows")).first()[0]
+    )
+
+
+def test_stream_sketch_state_matches_batch(spark, events, state, tmp_path):
+    from localitysensitivesketch_spark.streaming import stream as ST
+
+    src = str(tmp_path / "events_src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = ST.stream_sketch_state(spark, stream, str(tmp_path / "store"))
+    q.awaitTermination(120)
+    got = ST.read_sketch_state(spark, str(tmp_path / "store"))
+    for fn in (S.merged_distinct, S.first_seen_counts, S.group_overlap):
+        a = sorted(map(tuple, fn(state).collect()))
+        b = sorted(map(tuple, fn(got).collect()))
+        assert a == b, fn.__name__
+
+
+def test_stream_sketch_state_replay_is_idempotent(spark, events, tmp_path):
+    from localitysensitivesketch_spark.operators.sketchstate import (
+        sketch_window_state,
+    )
+
+    state_path = str(tmp_path / "store" / "sketch_state")
+
+    def write_batch(df, batch_id):
+        sketch_window_state(df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(state_path)
+
+    half = events.filter(F.pmod(F.xxhash64("user_id", "ts"), F.lit(2)) == 0)
+    write_batch(half, 0)
+    write_batch(events.subtract(half), 1)
+    once = spark.read.parquet(state_path).count()
+    write_batch(events.subtract(half), 1)  # replay of batch 1
+    again = spark.read.parquet(state_path).count()
+    assert once == again
+    from localitysensitivesketch_spark.streaming.stream import read_sketch_state
+
+    got = sorted(
+        map(tuple, S.merged_distinct(read_sketch_state(spark, str(tmp_path / "store"))).collect())
+    )
+    want = sorted(
+        map(tuple, S.merged_distinct(sketch_window_state(events)).collect())
+    )
+    assert got == want
