@@ -555,6 +555,25 @@ def _q_sketch_type_overlap(spark, sf_dir):
     )
 
 
+def _q_novelty_report(spark, sf_dir):
+    """Crawl-novelty dashboard (sketch state, zero self-joins): snapshots
+    synthesized deterministically from doc_id (testdata has no crawl ts);
+    the key is a 2-hex md5 prefix so novelty is non-vacuous on this
+    corpus's 500/500-distinct texts (256-key fingerprint space forces
+    recurrence across snapshots)."""
+    from localitysensitivesketch_spark.operators.sketchstate import (
+        novelty_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return novelty_report(
+        docs,
+        key=F.substring(F.md5("text"), 1, 2),
+        snapshot=F.pmod("doc_id", F.lit(5)).cast("int"),
+        group="lang",
+    )
+
+
 def _q_sketch_value_quantiles(spark, sf_dir):
     """Consumer 4: KLL merged-window quantiles.  KLL is bounded-error (not
     exact), so the hash-checked contract asserts the guarantee itself: the
@@ -626,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_first_seen": _q_sketch_first_seen,
         "sketch_type_overlap": _q_sketch_type_overlap,
         "sketch_value_quantiles": _q_sketch_value_quantiles,
+        "novelty_report": _q_novelty_report,
         "latest_capture": _q_latest_capture,
         "semantic_dedup": _q_semantic_dedup,
         "segment_dedup_stats": _q_segment_dedup_stats,
@@ -1450,6 +1470,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_rows,
                    TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
             FROM events GROUP BY event_type
+        """,
+        "novelty_report": """
+            WITH d AS (
+              SELECT lang AS "group", CAST(doc_id % 5 AS INTEGER) AS snapshot,
+                     substr(md5(text), 1, 2) AS k
+              FROM documents
+            ),
+            w AS (
+              SELECT "group", snapshot, count(*) AS n_docs,
+                     count(DISTINCT k) AS distinct_keys
+              FROM d GROUP BY "group", snapshot
+            ),
+            f AS (
+              SELECT "group", k, min(snapshot) AS snapshot
+              FROM d GROUP BY "group", k
+            ),
+            c AS (
+              SELECT "group", snapshot, count(*) AS n
+              FROM f GROUP BY "group", snapshot
+            )
+            SELECT w."group", w.snapshot, w.n_docs, w.distinct_keys,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS first_seen_keys,
+                   round(coalesce(c.n, 0) * 1.0 / w.distinct_keys, 6)
+                     AS novelty
+            FROM w LEFT JOIN c USING ("group", snapshot)
         """,
         "decode_features": _DECODE_SQL,
         "knn_cosine_topk": _KNN_SQL,

@@ -199,10 +199,65 @@ def merged_quantiles(
     return merged.select("group", *cols)
 
 
+def novelty_report(
+    docs: DataFrame,
+    key: F.Column | str,
+    snapshot: F.Column | str,
+    group: F.Column | str | None = None,
+) -> DataFrame:
+    """Crawl-novelty dashboard from sketch state: per (group, snapshot),
+    how many distinct content keys appeared and how many were NEVER seen
+    in an earlier snapshot — "how much of today's crawl is new content?"
+    answered with two theta aggregates and zero self-joins.
+
+    ``key`` is the content identity (e.g. ``F.md5("text")`` for exact-text
+    novelty, or a truncated fingerprint for fingerprint-space novelty on
+    corpora with few exact dups); ``snapshot`` orders the crawls (a date,
+    a crawl id — anything with a total order).  The per-snapshot state is
+    one theta sketch, so the report costs one scan + a window over the
+    (groups × snapshots)-row state table; at 10^12 docs the dedup-rate-
+    over-time question never touches a pairwise join.  Exact below the
+    4096-entry nominal per (group, snapshot); bounded-error above.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    snapshot = F.col(snapshot) if isinstance(snapshot, str) else snapshot
+    grp = (F.col(group) if isinstance(group, str) else group) if group is not None else F.lit("all")
+    st = docs.groupBy(
+        grp.alias("group"), snapshot.alias("snapshot")
+    ).agg(
+        F.theta_sketch_agg(key).alias("sk"),
+        F.count("*").alias("n_docs"),
+    )
+    prior = Window.partitionBy("group").orderBy("snapshot").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = st.select(
+        "group",
+        "snapshot",
+        "n_docs",
+        F.round(F.theta_sketch_estimate("sk")).cast("long").alias(
+            "distinct_keys"
+        ),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference("sk", F.theta_union_agg("sk").over(prior))
+            )
+        )
+        .cast("long")
+        .alias("first_seen_keys"),
+    )
+    return out.withColumn(
+        "novelty",
+        F.round(F.col("first_seen_keys") / F.col("distinct_keys"), 6),
+    )
+
+
 __all__ = [
     "sketch_window_state",
+    "coalesce_state",
     "merged_distinct",
     "first_seen_counts",
     "group_overlap",
     "merged_quantiles",
+    "novelty_report",
 ]

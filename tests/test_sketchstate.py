@@ -219,3 +219,34 @@ def test_stream_sketch_state_replay_is_idempotent(spark, events, tmp_path):
         map(tuple, S.merged_distinct(sketch_window_state(events)).collect())
     )
     assert got == want
+
+
+def test_novelty_report_exact(spark):
+    # keys recur across snapshots: snapshot s sees keys [0, 40+10s)
+    rows = [
+        (s, k) for s in range(4) for k in range(40 + 10 * s) for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, "snap int, k int")
+    got = {
+        (r["snapshot"]): (r["n_docs"], r["distinct_keys"], r["first_seen_keys"], r["novelty"])
+        for r in S.novelty_report(df, key="k", snapshot="snap").collect()
+    }
+    want = {
+        0: (80, 40, 40, 1.0),
+        1: (100, 50, 10, 0.2),
+        2: (120, 60, 10, round(10 / 60, 6)),
+        3: (140, 70, 10, round(10 / 70, 6)),
+    }
+    assert got == want
+
+
+def test_novelty_report_grouped_and_plan(spark):
+    rows = [("a", s, k) for s in range(2) for k in range(30)] + [
+        ("b", s, k) for s in range(2) for k in range(s, 30 + s)
+    ]
+    df = spark.createDataFrame(rows, "g string, snap int, k int")
+    out = S.novelty_report(df, key="k", snapshot="snap", group="g")
+    got = {(r["group"], r["snapshot"]): r["first_seen_keys"] for r in out.collect()}
+    assert got == {("a", 0): 30, ("a", 1): 0, ("b", 0): 30, ("b", 1): 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
