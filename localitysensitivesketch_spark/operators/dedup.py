@@ -29,6 +29,17 @@ from .signatures import compute_signatures
 from .verify import duplicate_edges, verify_pairs
 
 
+def _ceil_safe(x) -> F.Column:
+    """``ceil`` of a float product that must NEVER overestimate an integral
+    true value: float ``t*n`` can land just above the true integer
+    (``0.07*100 == 7.000000000000001``), and a one-too-big ceiling turns a
+    lossless prefix/size bound into silent pair loss.  Rounding to 6
+    decimals first snaps such artifacts back; for thresholds with more
+    than 6 decimals it can only round DOWN, which loosens the bound —
+    extra candidates, never lost pairs."""
+    return F.ceil(F.round(x, 6))
+
+
 def exact_dup_groups(
     df: DataFrame,
     text_col: str = "text",
@@ -185,10 +196,17 @@ def ngram_jaccard_pairs(
         w = Window.partitionBy("doc_id").orderBy(
             F.col("tok_df").asc(), F.col("tok").asc()
         )
+        # _ceil_safe: ceil over the 6-decimal-rounded product.  Bare
+        # ceil(t*n) overestimates whenever the float product lands just
+        # above the true integer (e.g. 0.07*100 = 7.000000000000001 →
+        # ceil 8), which would SHORTEN the prefix and silently lose
+        # boundary pairs; rounding first can only under-estimate for
+        # thresholds with >6 decimals, which merely adds candidates the
+        # exact verify filters out.
         prefix = (
             tok.join(tok_df, "tok")
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+            .filter(F.col("rn") <= F.col("n") - _ceil_safe(F.lit(t) * F.col("n")) + 1)
         )
         keyed = prefix.select(
             "doc_id",
@@ -219,7 +237,7 @@ def ngram_jaccard_pairs(
             )
             .filter(
                 (1 + F.least(F.col("n1") - F.col("i"), F.col("n2") - F.col("j")))
-                >= F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2")) - F.lit(1e-9)
+                >= F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2")) - F.lit(1e-6)
             )
             .select("id1", "id2")
         )
@@ -311,7 +329,7 @@ def containment_pairs(
     prefix = (
         tok.join(tok_df, "tok")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .filter(F.col("rn") <= F.col("n") - _ceil_safe(F.lit(t) * F.col("n")) + 1)
     )
     from .candidates import probe_index_pairs
 
@@ -322,7 +340,7 @@ def containment_pairs(
         payload_cols=("n",),
     )
     cand = (
-        cand.filter(F.col("n_i") >= F.ceil(F.lit(t) * F.col("n_p")))
+        cand.filter(F.col("n_i") >= _ceil_safe(F.lit(t) * F.col("n_p")))
         .select("probe_id", "index_id")
         .distinct()
     )

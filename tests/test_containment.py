@@ -88,3 +88,29 @@ def test_containment_plan_no_python(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "a b c")], "doc_id long, text string")
     plan = containment_pairs(df, 1.0)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ceil_boundary_pair_not_lost(spark):
+    # float ceil(0.07*100) == 8 (true 7): with a bare ceil the prefix
+    # shortens by one token and this boundary pair vanishes.  Doc a has 93
+    # unique tokens + 7 shared with doc b; the shared ones are a's most
+    # common tokens, so they sit at df-ordered positions 94..100 — exactly
+    # the positions a one-too-short prefix misses.
+    a_toks = [f"u{i}" for i in range(93)] + [f"s{i}" for i in range(7)]
+    b_toks = [f"s{i}" for i in range(7)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in containment_pairs(df, 0.07).collect()}
+    assert (1, 2, 0.07) in got  # C(a→b) = 7/100 exactly at threshold
+    # same boundary through the Jaccard prefix strategy: J = 7/100 = 0.07
+    from localitysensitivesketch_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    jac = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(df, 0.07, strategy="prefix").collect()
+    }
+    assert (1, 2) in jac
