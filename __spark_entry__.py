@@ -574,6 +574,38 @@ def _q_novelty_report(spark, sf_dir):
     )
 
 
+def _q_cluster_signature_merge(spark, sf_dir):
+    """Cluster-level MinHash signatures by elementwise-min merge (MinHash
+    mergeability: sig(∪) = min of member sigs, bit-for-bit).  Clusters are
+    the 16 md5-first-hex groups (deterministic, non-vacuous on this
+    all-distinct corpus); output is the full merged signature as hex so
+    the golden oracle (pure-python shadow over the unioned shingle sets)
+    pins every slot."""
+    from localitysensitivesketch_spark.operators.signatures import (
+        compute_signatures,
+        merge_cluster_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.conv(F.substring(F.md5("text"), 1, 1), 16, 10)
+        .cast("long")
+        .alias("cluster_id"),
+    )
+    sigs = compute_signatures(docs, CFG)
+    merged = merge_cluster_signatures(sigs, labels, CFG)
+    sig_hex = F.lower(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.col("minhash"), lambda v: F.lpad(F.hex(v), 16, "0")
+            ),
+        )
+    )
+    return merged.select("cluster_id", "n_docs", sig_hex.alias("sig_hex"))
+
+
 def _q_sketch_value_quantiles(spark, sf_dir):
     """Consumer 4: KLL merged-window quantiles.  KLL is bounded-error (not
     exact), so the hash-checked contract asserts the guarantee itself: the
@@ -646,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_type_overlap": _q_sketch_type_overlap,
         "sketch_value_quantiles": _q_sketch_value_quantiles,
         "novelty_report": _q_novelty_report,
+        "cluster_signature_merge": _q_cluster_signature_merge,
         "latest_capture": _q_latest_capture,
         "semantic_dedup": _q_semantic_dedup,
         "segment_dedup_stats": _q_segment_dedup_stats,
@@ -816,6 +849,47 @@ def _golden_sql(rows: list[tuple], cols: str) -> str | None:
         return str(v)
     vals = ", ".join("(" + ", ".join(fmt(v) for v in r) + ")" for r in rows)
     return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
+
+
+def _cluster_signature_golden() -> dict[str, str]:
+    """Golden oracle for cluster_signature_merge: the independent
+    pure-python shadow (``oracle.py``, loop-based plain-int — no numpy, no
+    production kernels) unions each md5-first-hex group's shingle sets and
+    derives the merged MinHash directly; every one of the 128 slots is
+    pinned as hex.  Failure to compute ⇒ key absent (rows-only fallback)."""
+    try:
+        import hashlib
+
+        import duckdb
+
+        from localitysensitivesketch_spark import oracle as O
+
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{_SF001_DIR}/documents.parquet'"
+        ).fetchall()
+        groups: dict[int, set[int]] = {}
+        counts: dict[int, int] = {}
+        for _id, text in rows:
+            k = int(hashlib.md5(text.encode("utf-8")).hexdigest()[0], 16)
+            groups.setdefault(k, set()).update(O.oracle_shingles(text, CFG))
+            counts[k] = counts.get(k, 0) + 1
+        g = []
+        for k in sorted(groups):
+            sig = O.oracle_minhash(groups[k], CFG)
+            hexsig = "".join(f"{v:016x}" for v in sig)
+            g.append((k, counts[k], f"'{hexsig}'"))
+        sql = _golden_sql(g, "cluster_id, n_docs, sig_hex")
+        if sql is None:
+            return {}
+        return {
+            "cluster_signature_merge": (
+                "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+                "CAST(n_docs AS BIGINT) AS n_docs, sig_hex "
+                f"FROM ({sql}) AS q"
+            )
+        }
+    except Exception:
+        return {}
 
 
 def _sketch_golden_oracles() -> dict[str, str]:
@@ -1725,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
     vc = _value_cluster_oracle()
     if vc is not None:
         out["value_cluster_stats"] = vc
+    out.update(_cluster_signature_golden())
     out.update(_sketch_golden_oracles())
     out.update(_ann_golden_oracle())
     out.update(_ivf_golden_oracle())

@@ -98,3 +98,106 @@ def compute_signatures(
         F.col(text_col).alias("text"),
     )
     return pruned.mapInPandas(_signature_batches(cfg.to_json()), SIGNATURE_SCHEMA)
+
+
+_SIGN = -(1 << 63)  # i64 sign bit: XOR with it makes signed order == u64 order
+
+
+def merge_cluster_signatures(
+    signatures: DataFrame,
+    labels: DataFrame,
+    cfg: SketchConfig,
+) -> DataFrame:
+    """Cluster-level MinHash signatures by elementwise-min merge.
+
+    MinHash is mergeable exactly like the theta sketches in
+    ``operators.sketchstate``: ``sig(A ∪ B) = elementwise_min(sig(A),
+    sig(B))`` over the shingle-set union, bit-for-bit — so a whole
+    near-dup cluster gets ONE signature without ever re-shingling text
+    (the W7 clone/merge analogue, ``LSSFingerprintAtomic.java`` sketch
+    instance merging; verified against the independent pure-python shadow
+    ``oracle.oracle_minhash`` on the unioned shingle sets).
+
+    Plan shape for 10^12 docs: ``posexplode`` the signature slots and
+    hash-aggregate min per (cluster, slot) — Spark's partial aggregation
+    shrinks each map partition's contribution to (clusters × n_hashes)
+    rows BEFORE the shuffle, so the exchange carries cluster-count-sized
+    data, not doc-count-sized.  The stored slots are u64 values
+    reinterpreted as i64 (``hashing.u64_to_i64``), so the min must use
+    UNSIGNED order: XOR with the sign bit, min, XOR back.
+
+    Band keys for the merged signatures are recomputed with the same
+    numpy kernel (``hashing.band_keys_batch``) in one Arrow pass over the
+    cluster-count-sized table, so cluster signatures join the very same
+    LSH machinery doc signatures use.
+    """
+    slots = signatures.join(labels, "doc_id").select(
+        "cluster_id", F.posexplode("minhash").alias("pos", "v")
+    )
+    mins = (
+        slots.withColumn("u", F.col("v").bitwiseXOR(F.lit(_SIGN)))
+        .groupBy("cluster_id", "pos")
+        .agg(F.min("u").alias("u"))
+        .withColumn("v", F.col("u").bitwiseXOR(F.lit(_SIGN)))
+    )
+    merged = mins.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("minhash"),
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+
+    def _band_batches(cfg_json: str):
+        def fn(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            from ..functions import hashing as _H
+
+            c = SketchConfig.from_json(cfg_json)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sigs = _np.array(
+                    [_np.array(s, dtype=_np.int64) for s in pdf["minhash"]]
+                ).astype(_np.uint64)
+                bk = _H.u64_to_i64(_H.band_keys_batch(sigs, c.bands, c.rows))
+                yield _pd.DataFrame(
+                    {
+                        "cluster_id": pdf["cluster_id"],
+                        "minhash": pdf["minhash"],
+                        "band_keys": list(bk),
+                    }
+                )
+
+        return fn
+
+    with_bands = merged.mapInPandas(
+        _band_batches(cfg.to_json()),
+        "cluster_id long, minhash array<long>, band_keys array<long>",
+    )
+    return with_bands.join(sizes, "cluster_id")
+
+
+def cluster_merge_candidates(
+    cluster_signatures: DataFrame, cfg: SketchConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster pairs whose shingle-set UNIONS look near-duplicate — the
+    cross-shard / cross-snapshot merge detector.  Clusters built
+    independently (per shard, per streaming window) that are really one
+    near-dup family collide here in one LSH pass over cluster-count rows;
+    re-comparing members would be quadratic in docs.  Same salted/capped
+    band machinery as doc-level candidates."""
+    from .candidates import pairs_by_key
+
+    keyed = cluster_signatures.select(
+        F.col("cluster_id").alias("doc_id"), F.explode("band_keys").alias("key")
+    )
+    pairs, metrics = pairs_by_key(keyed, cfg)
+    return (
+        pairs.select(
+            F.col("id1").alias("cluster_1"), F.col("id2").alias("cluster_2")
+        ),
+        metrics,
+    )
