@@ -201,3 +201,36 @@ def cluster_merge_candidates(
         ),
         metrics,
     )
+
+
+def cluster_merge_scores(
+    cluster_signatures: DataFrame,
+    cfg: SketchConfig,
+    estimator: str = "slots",
+) -> DataFrame:
+    """Scored cluster-merge detection: candidate cluster pairs from the
+    band join, each scored with the estimated Jaccard of the two clusters'
+    shingle-set UNIONS — computed from the merged signatures alone.
+    Because ``merge_cluster_signatures`` produces a TRUE MinHash of the
+    union (not an approximation of one), the doc-level estimator suite
+    (``analytics.minhash_estimate_for_pairs``, the reference's
+    queryV0/V2/V3 strategies) applies verbatim.  Callers merge clusters
+    whose score clears their threshold, or route the pair to an exact
+    member-level verify first."""
+    from .analytics import minhash_estimate_for_pairs
+
+    pairs, _ = cluster_merge_candidates(cluster_signatures, cfg)
+    est = minhash_estimate_for_pairs(
+        pairs.select(
+            F.col("cluster_1").alias("id1"), F.col("cluster_2").alias("id2")
+        ),
+        cluster_signatures.select(
+            F.col("cluster_id").alias("doc_id"), "minhash", "band_keys"
+        ),
+        estimator=estimator,
+    )
+    return est.select(
+        F.col("id1").alias("cluster_1"),
+        F.col("id2").alias("cluster_2"),
+        "est_jaccard",
+    )

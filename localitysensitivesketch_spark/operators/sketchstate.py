@@ -48,7 +48,7 @@ def sketch_window_state(
     events: DataFrame,
     *,
     key_col: str = "user_id",
-    value_col: str = "value",
+    value_col: str | None = "value",
     group_col: str = "event_type",
     ts_col: str = "ts",
     window_fmt: str = "yyyy-MM-dd",
@@ -60,18 +60,22 @@ def sketch_window_state(
     n_rows)``.  The sketch columns are binary, a few KB each; the state
     table is (groups × windows) rows no matter how large the input.
     The S6 "sketch producer" analog (``Sub4SketchingKVStream.java``) with
-    real mergeable summaries.
+    real mergeable summaries.  ``value_col=None`` builds key-only state
+    (no KLL column) for purely set-typed questions — dedup novelty,
+    distinct counts, overlaps.
     """
+    aggs = [F.theta_sketch_agg(key_col).alias("key_sketch")]
+    if value_col is not None:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
+                "value_sketch"
+            )
+        )
+    aggs.append(F.count("*").alias("n_rows"))
     return events.groupBy(
         F.col(group_col).alias("group"),
         _day(ts_col, window_fmt).alias("window_start"),
-    ).agg(
-        F.theta_sketch_agg(key_col).alias("key_sketch"),
-        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
-            "value_sketch"
-        ),
-        F.count("*").alias("n_rows"),
-    )
+    ).agg(*aggs)
 
 
 def coalesce_state(partials: DataFrame) -> DataFrame:
@@ -87,11 +91,11 @@ def coalesce_state(partials: DataFrame) -> DataFrame:
     serialize-per-window / merge-on-read pattern
     (``Sub4SketchingKVStream.java:419-452``).
     """
-    return partials.groupBy("group", "window_start").agg(
-        F.theta_union_agg("key_sketch").alias("key_sketch"),
-        F.kll_merge_agg_double("value_sketch").alias("value_sketch"),
-        F.sum("n_rows").alias("n_rows"),
-    )
+    aggs = [F.theta_union_agg("key_sketch").alias("key_sketch")]
+    if "value_sketch" in partials.columns:
+        aggs.append(F.kll_merge_agg_double("value_sketch").alias("value_sketch"))
+    aggs.append(F.sum("n_rows").alias("n_rows"))
+    return partials.groupBy("group", "window_start").agg(*aggs)
 
 
 def merged_distinct(state: DataFrame) -> DataFrame:

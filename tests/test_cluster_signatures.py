@@ -84,3 +84,41 @@ def test_merge_partial_aggregation_in_plan(spark):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     # min per (cluster, pos) must partial-aggregate map-side (partial_min)
     assert "partial_min" in plan
+
+
+def test_cluster_merge_scores_match_shadow_slot_agreement(spark):
+    from localitysensitivesketch_spark.operators.signatures import (
+        cluster_merge_scores,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, base), (1, base + " extraA"),
+        (2, base + " extraB"), (3, base),
+        (4, " ".join(f"z{i}" for i in range(60))),
+    ]
+    texts = dict(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)], "doc_id long, cluster_id long"
+    )
+    merged = merge_cluster_signatures(
+        compute_signatures(docs, CFG), labels, CFG
+    )
+    got = {
+        (r["cluster_1"], r["cluster_2"]): r["est_jaccard"]
+        for r in cluster_merge_scores(merged, CFG).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.6
+    # the estimate must equal the slot-agreement of the shadow-oracle
+    # merged signatures exactly (sig(union) is a true MinHash)
+    members = {0: (0, 1), 1: (2, 3), 2: (4,)}
+    shadow = {}
+    for c, ms in members.items():
+        union = set()
+        for m in ms:
+            union |= O.oracle_shingles(texts[m], CFG)
+        shadow[c] = O.oracle_minhash(union, CFG)
+    for (a, b), est in got.items():
+        agree = sum(x == y for x, y in zip(shadow[a], shadow[b]))
+        assert est == agree / CFG.n_hashes, (a, b)

@@ -250,3 +250,12 @@ def test_novelty_report_grouped_and_plan(spark):
     assert got == {("a", 0): 30, ("a", 1): 0, ("b", 0): 30, ("b", 1): 1}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_key_only_state(events):
+    st = S.sketch_window_state(events, value_col=None)
+    assert "value_sketch" not in st.columns
+    merged = S.coalesce_state(st)
+    a = sorted(map(tuple, S.merged_distinct(merged).collect()))
+    b = sorted(map(tuple, S.merged_distinct(S.sketch_window_state(events)).collect()))
+    assert a == b
