@@ -115,3 +115,26 @@ def test_band_keys_agree_iff_band_equal():
     k2 = H.band_keys(sig2, CFG.bands, CFG.rows)
     assert k1[0] != k2[0]
     assert (k1[1:] == k2[1:]).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6).map(lambda x: x / 10**6),
+    st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=500, deadline=None)
+def test_ceil_safe_never_overestimates_integral_products(t, n):
+    """The prune bound ceil(t*n) must never exceed the TRUE ceiling
+    (exact rational arithmetic) — overestimating loses boundary pairs;
+    at most one below is allowed (loosens the bound, exact verify wins).
+    Mirrors the Spark-side _ceil_safe (ceil of the 6-decimal round)."""
+    import math
+    from fractions import Fraction
+
+    # t has ≤6 decimals by construction (the documented guarantee domain)
+    true_ceil = -((-Fraction(round(t * 10**6)) * n) // 10**6)
+    got = math.ceil(round(t * n, 6))
+    assert got <= true_ceil
+    assert got >= true_ceil - 1
+    # and the bare-float version does violate this for some inputs —
+    # the fix is load-bearing (regression canary: known-bad combo)
+    assert math.ceil(0.07 * 100) == 8  # stays broken in raw float math
