@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..config import SketchConfig
 from ..operators.corpus import gopher_filter
-from ..operators.dedup import exact_dedup, latest_capture
+from ..operators.dedup import containment_pairs, exact_dedup, latest_capture
 from ..operators.signatures import with_doc_id
 from ..operators.urls import normalize_urls
 from .pipeline import DedupPipeline
@@ -92,6 +92,7 @@ class CurationPipeline:
         ts_col: str = "warc_ts",
         text_col: str = "text",
         canonicalize: bool = False,
+        containment_threshold: float | None = None,
     ) -> CurationResult:
         """``canonicalize=True`` collapses cosmetic url variants
         (case/port/fragment/slash/query-order — ``operators/urls.py``)
@@ -145,9 +146,63 @@ class CurationPipeline:
             ),
             resume, ran, reused,
         )
+        tiers = [
+            ("latest_capture", captures),
+            ("exact_dedup", exact_kept),
+            ("quality_gate", passed),
+            ("near_dup", survivors),
+        ]
+        if containment_threshold is not None:
+            t = float(containment_threshold)
+
+            def _containment_kept():
+                # asymmetric tier the symmetric near-dup pass cannot see:
+                # drop a survivor whose token set is ≥t contained in a
+                # STRICTLY larger surviving doc (ties broken by min
+                # doc_id) — the (size, id) order is a strict total order,
+                # so the keep rule is acyclic and deterministic at any
+                # parallelism
+                sizes = survivors.select(
+                    F.col("doc_id"),
+                    F.size(
+                        F.array_distinct(
+                            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                        )
+                    ).alias("n_toks"),
+                )
+                pairs = containment_pairs(
+                    survivors, threshold=t, text_col=text_col
+                )
+                na = sizes.select(
+                    F.col("doc_id").alias("id_contained"),
+                    F.col("n_toks").alias("n_a"),
+                )
+                nb = sizes.select(
+                    F.col("doc_id").alias("id_container"),
+                    F.col("n_toks").alias("n_b"),
+                )
+                dropped = (
+                    pairs.join(na, "id_contained")
+                    .join(nb, "id_container")
+                    .filter(
+                        (F.col("n_b") > F.col("n_a"))
+                        | (
+                            (F.col("n_b") == F.col("n_a"))
+                            & (F.col("id_container") < F.col("id_contained"))
+                        )
+                    )
+                    .select(F.col("id_contained").alias("doc_id"))
+                    .distinct()
+                )
+                return survivors.join(dropped, "doc_id", "left_anti")
+
+            survivors = self._stage(
+                "containment_kept", _containment_kept, resume, ran, reused
+            )
+            tiers.append(("containment", survivors))
         funnel = self._stage(
             "funnel",
-            lambda: self._funnel(raw, captures, exact_kept, passed, survivors),
+            lambda: self._funnel(raw, tiers),
             resume, ran, reused,
         )
         return CurationResult(
@@ -161,18 +216,13 @@ class CurationPipeline:
             stages_resumed=reused,
         )
 
-    def _funnel(self, raw, captures, exact_kept, passed, survivors):
-        # one count() job per tier boundary — six scalar jobs on committed
-        # stage tables, not a hot path
+    def _funnel(self, raw, tiers):
+        # one count() job per tier boundary — a handful of scalar jobs on
+        # committed stage tables, not a hot path
         rows = []
         n_prev = raw.count()
         rows.append(("raw", n_prev, n_prev))
-        for name, df in (
-            ("latest_capture", captures),
-            ("exact_dedup", exact_kept),
-            ("quality_gate", passed),
-            ("near_dup", survivors),
-        ):
+        for name, df in tiers:
             n = df.count()
             rows.append((name, n_prev, n))
             n_prev = n

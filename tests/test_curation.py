@@ -106,3 +106,49 @@ def test_curation_canonicalize_collapses_url_variants(spark, tmp_path):
     ).collect()
     assert len(caps) == 1
     assert caps[0]["text"] != "stale variant text"
+
+
+def test_curation_containment_tier(spark, tmp_path):
+    from datetime import datetime as _dt
+
+    base = _dt(2024, 1, 1)
+    big = " ".join(f"w{i}" for i in range(9, 49))   # 40 tokens
+    quote = " ".join(f"w{i}" for i in range(9, 29))  # 20 tokens ⊂ big
+    other = " ".join(f"q{i}" for i in range(9, 49))  # unrelated, same size
+    rows = [
+        ("http://a.com/big", base, b"<b>", big, "en"),
+        ("http://a.com/quote", base, b"<q>", quote, "en"),
+        ("http://a.com/other", base, b"<o>", other, "en"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pipe = CurationPipeline(
+        spark, str(tmp_path / "cur_cont"), gopher_kwargs=GOPHER
+    )
+    res = pipe.run(raw, containment_threshold=1.0)
+    kept = {r["url"] for r in res.survivors.select("url").collect()}
+    # the quote is fully contained in the strictly larger page → dropped;
+    # the two full-size pages survive (no cross containment)
+    assert kept == {"http://a.com/big", "http://a.com/other"}
+    stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in res.funnel.collect()}
+    assert stages["containment"] == (3, 2)
+    assert "containment_kept" in res.stages_run
+
+    # resume: a second run reuses every stage, identical survivors
+    res2 = pipe.run(raw, containment_threshold=1.0)
+    assert "containment_kept" in res2.stages_resumed
+    assert {r["url"] for r in res2.survivors.select("url").collect()} == kept
+
+    # mutual containment (identical token SETS, different order/dups,
+    # distinct texts so exact dedup keeps both) → min doc_id survives
+    rows3 = [
+        ("http://b.com/x", base, b"1", "alpha beta gamma delta epsilon", "en"),
+        ("http://b.com/y", base, b"2", "beta alpha gamma delta epsilon epsilon", "en"),
+    ]
+    raw3 = spark.createDataFrame(rows3, raw.schema)
+    pipe3 = CurationPipeline(
+        spark, str(tmp_path / "cur_tie"), gopher_kwargs=GOPHER
+    )
+    res3 = pipe3.run(raw3, containment_threshold=1.0)
+    assert res3.survivors.count() == 1
