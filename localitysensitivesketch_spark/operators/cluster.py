@@ -227,7 +227,6 @@ def merge_components(
     new_edges: DataFrame,
     new_vertices: DataFrame | None = None,
     id_col: str = "doc_id",
-    max_touched_broadcast: int = 4_000_000,
 ) -> DataFrame:
     """Incremental CC: merge ``new_edges`` (and optionally ``new_vertices``)
     into an existing ``labels(doc_id, cluster_id)`` assignment WITHOUT
@@ -248,9 +247,14 @@ def merge_components(
     broadcast-joins the (tiny) label→superlabel map against ``labels``, and
     the contracted CC runs on ≤|new edges| edges.  The endpoint set of a
     micro-batch is small by construction, so the semi-join that extracts
-    touched label rows broadcasts it; if a pathological batch exceeds
-    ``max_touched_broadcast`` endpoints, fall back to a full recompute
-    (caller's choice — this function just does the merge).
+    touched label rows broadcasts it; for a pathological batch whose
+    endpoint set rivals the corpus (where that broadcast would strain the
+    driver), run a full ``connected_components`` recompute instead — the
+    caller knows its batch size, this function just does the merge.
+
+    Edge endpoints absent from both ``labels`` and ``new_vertices`` are
+    treated as implicitly new vertices (labeled by themselves before the
+    merge), so no edge is ever silently dropped.
     """
     new_edges = new_edges.select(
         F.col("id1").cast("long").alias("id1"),
@@ -260,21 +264,24 @@ def merge_components(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
-    if new_vertices is not None:
-        fresh = (
-            new_vertices.select(F.col(id_col).cast("long").alias("doc_id"))
-            .distinct()
-            .join(base.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        )
-        base = base.unionByName(fresh)
-    base = base.localCheckpoint(eager=False)  # two consumers: touched + relabel
-
     endpoints = (
         new_edges.select(F.col("id1").alias("doc_id"))
         .unionByName(new_edges.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
+    # new vertices = explicit ones plus any edge endpoint unknown to the
+    # committed labels — both batch-sized; without the endpoint union an
+    # edge touching an unlabeled doc would vanish through the inner joins
+    incoming = endpoints
+    if new_vertices is not None:
+        incoming = incoming.unionByName(
+            new_vertices.select(F.col(id_col).cast("long").alias("doc_id"))
+        ).distinct()
+    fresh = incoming.join(base.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    base = base.unionByName(fresh)
+    base = base.localCheckpoint(eager=False)  # two consumers: touched + relabel
     # touched = the old label of every endpoint — endpoint set is batch-
     # sized, so broadcast it into the big labels table (map-side semi-join)
     touched = base.join(F.broadcast(endpoints), "doc_id")

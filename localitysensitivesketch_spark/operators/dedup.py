@@ -255,11 +255,14 @@ def ngram_jaccard_pairs(
         )
         # size-ratio prune in the join condition: J <= min/max of distinct
         # set sizes, so pairs that cannot reach the threshold never run the
-        # expensive array_intersect
+        # expensive array_intersect.  n1 >= t*n2 compares an integer to a
+        # float product, so the same overestimate artifact _ceil_safe
+        # guards against applies: n1 >= ceil_safe(t*n2) is the exact
+        # integer form of the bound.
         joined = a.join(b, "blk").where(
             (F.col("id1") < F.col("id2"))
-            & (F.col("n1") >= F.col("n2") * t)
-            & (F.col("n2") >= F.col("n1") * t)
+            & (F.col("n1") >= _ceil_safe(F.col("n2") * t))
+            & (F.col("n2") >= _ceil_safe(F.col("n1") * t))
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r} (auto|prefix|block)")

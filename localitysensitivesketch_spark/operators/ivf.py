@@ -239,7 +239,12 @@ def ann_topk_ivf(
                 6,
             ).alias("cosine"),
         )
-        .distinct()
+        # NO distinct here: each corpus row has exactly one cell
+        # (ivf_assign argmin) and a query's probe set holds each cell at
+        # most once (slice of a per-center sorted array), so (query_id,
+        # nbr_id) is already unique — unlike the LSH variant, where
+        # multi-bucket collisions genuinely need dedup.  A distinct would
+        # add a corpus-sized exchange for zero semantic effect.
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()

@@ -131,7 +131,10 @@ def merge_cluster_signatures(
     cluster-count-sized table, so cluster signatures join the very same
     LSH machinery doc signatures use.
     """
-    slots = signatures.join(labels, "doc_id").select(
+    member_sigs = signatures.join(labels, "doc_id").localCheckpoint(
+        eager=False
+    )  # two consumers: slot explode + membership count
+    slots = member_sigs.select(
         "cluster_id", F.posexplode("minhash").alias("pos", "v")
     )
     mins = (
@@ -146,7 +149,13 @@ def merge_cluster_signatures(
             lambda s: s["v"],
         ).alias("minhash"),
     )
-    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    # n_docs counts the members whose shingles the merged signature
+    # actually covers (the signatures ⋈ labels rows) — counting the full
+    # labels table would overstate membership whenever a member lacks a
+    # signature row (e.g. filtered upstream as n_shingles == 0), and a
+    # cluster with NO signature-bearing members is absent from the output
+    # by the same rule (there is nothing its signature could summarize).
+    sizes = member_sigs.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
 
     def _band_batches(cfg_json: str):
         def fn(batches):

@@ -234,9 +234,15 @@ def verify_pairs(
     )
     tagged = pairs.join(m1, "id1").join(m2, "id2")
     if signatures is not None and min_jaccard is not None:
+        # integer-vs-float-product comparison: use the overestimate-safe
+        # ceiling (see dedup._ceil_safe) so a float artifact like
+        # 0.07*100 = 7.000000000000001 cannot prune a boundary pair
+        from .dedup import _ceil_safe
+
         t = float(min_jaccard)
         tagged = tagged.where(
-            (F.col("ns1") >= F.col("ns2") * t) & (F.col("ns2") >= F.col("ns1") * t)
+            (F.col("ns1") >= _ceil_safe(F.col("ns2") * t))
+            & (F.col("ns2") >= _ceil_safe(F.col("ns1") * t))
         )
     tagged = tagged.withColumn(
         "exact_match",

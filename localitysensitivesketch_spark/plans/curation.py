@@ -68,21 +68,19 @@ class CurationPipeline:
     ):
         self.spark = spark
         self.cfg = cfg or SketchConfig()
-        self.gopher_kwargs = gopher_kwargs or {}
+        # language-agnostic by default: the north-rule corpus is
+        # multilingual (lang ∈ {en, de, zh, ...}) and gopher_filter's
+        # English stopword list would silently fail every non-English doc
+        # (stopword_ratio ≈ 0 < 0.01) — callers opt back in explicitly
+        self.gopher_kwargs = {"min_stopword_ratio": 0.0, **(gopher_kwargs or {})}
         # the near-dup tier owns the store (same root → one lineage table)
         self.dedup = DedupPipeline(spark, checkpoint_root, self.cfg)
         self.store = self.dedup.store
 
     def _stage(self, name, compute, resume, ran, reused):
-        import time
-
-        if resume and self.store.is_committed(name):
-            reused.append(name)
-            return self.store.read(name)
-        t0 = time.time()
-        out = self.store.write(name, compute(), time.time() - t0)
-        ran.append(name)
-        return out
+        # one stage-commit protocol for the whole funnel (the near-dup
+        # tier's runner owns it)
+        return self.dedup._stage(name, compute, resume, ran, reused)
 
     def run(
         self,

@@ -91,7 +91,9 @@ class CheckpointStore:
             return False
         return meta.get("config_sha") == self.cfg_sha and meta.get("status") == "ok"
 
-    def write(self, stage: str, df: DataFrame, wall_sec: float) -> DataFrame:
+    def write(
+        self, stage: str, df: DataFrame, wall_sec: float | None = None
+    ) -> DataFrame:
         """Commit a stage: data + per-partition lineage + marker (last).
 
         Writes into a staging dir first and swaps it in afterwards, so a
@@ -99,13 +101,21 @@ class CheckpointStore:
         version (the incremental MERGE pattern) — the old files stay
         readable until the new ones are complete.  Iceberg gives this for
         free via snapshots; this is the parquet-store equivalent.
+
+        ``wall_sec=None`` (the default for stage runners) records the
+        materialization wall measured around the parquet write itself —
+        callers used to pass ``time.time() - t0`` captured BEFORE the
+        write ran, which timed lazy plan construction (~0 s), not the job.
         """
         import shutil
 
         d = self._stage_dir(stage)
         data_path = os.path.join(d, "data.parquet")
         staging = os.path.join(d, f"data.parquet.staging-{uuid.uuid4().hex[:8]}")
+        t_write = time.time()
         df.write.mode("overwrite").parquet(staging)
+        if wall_sec is None:
+            wall_sec = time.time() - t_write
         if os.path.exists(data_path):
             old = data_path + ".old"
             if os.path.exists(old):
@@ -181,6 +191,7 @@ class CheckpointStore:
         compute_fn,
         part_col: str = "part_key",
         n_slices: int = 8,
+        resume: bool = True,
     ) -> DataFrame:
         """Commit a stage in ``n_slices`` independent write jobs with a
         durable slice ledger, so an interrupted run RESUMES AT SLICE
@@ -207,10 +218,15 @@ class CheckpointStore:
         """
         import shutil
 
-        if self.is_committed(stage):
+        if resume and self.is_committed(stage):
             return self.read(stage)
         t0 = time.time()
         d = self._stage_dir(stage)
+        if not resume:
+            # resume=False means recompute from scratch: committed data AND
+            # the slice ledger are both stale by declaration (e.g. the
+            # input table was replaced — input data is not part of cfg_sha)
+            shutil.rmtree(d, ignore_errors=True)
         data_path = os.path.join(d, "data.parquet")
         ledger = os.path.join(d, "slices.jsonl")
         done: set[int] = set()
@@ -334,9 +350,7 @@ class DedupPipeline:
         if resume and self.store.is_committed(name):
             reused.append(name)
             return self.store.read(name)
-        t0 = time.time()
-        df = compute()
-        out = self.store.write(name, df, time.time() - t0)
+        out = self.store.write(name, compute())
         ran.append(name)
         return out
 
@@ -381,6 +395,7 @@ class DedupPipeline:
                         ).cast("int"),
                     ),
                     n_slices=signature_slices,
+                    resume=resume,
                 )
                 ran.append("signatures")
             sigs = sigs.drop("part_key")

@@ -295,9 +295,26 @@ def process_incremental_batch(
         ).localCheckpoint(eager=True)
     _write_by_batch(batch_docs, doc_path)
     _write_by_batch(new_edges, edge_path)
-    # global snapshot: full overwrite is replay-idempotent by construction
-    # (same inputs ⇒ same labels — CC is order-independent)
-    clusters.write.mode("overwrite").parquet(cluster_path)
+    # global snapshot via staged write + rename swap: a bare
+    # mode("overwrite") clears the old directory BEFORE the new data
+    # lands, so a crash mid-write would leave a partial/empty snapshot
+    # that a replay would silently merge against.  With the swap, every
+    # crash point is safe: mid-staging ⇒ stale staging removed on next
+    # entry; between the two renames ⇒ cluster_path absent and the replay
+    # takes the full-CC fallback above, rebuilding the snapshot from the
+    # durably stored per-batch docs+edges.  (On an object store / Iceberg
+    # this is a snapshot commit instead of a rename.)
+    import shutil
+
+    staging = cluster_path + "__staging"
+    old = cluster_path + "__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    clusters.write.mode("overwrite").parquet(staging)
+    if os.path.exists(cluster_path):
+        os.rename(cluster_path, old)
+    os.rename(staging, cluster_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def windowed_event_counts(

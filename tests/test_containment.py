@@ -114,3 +114,10 @@ def test_ceil_boundary_pair_not_lost(spark):
         for r in ngram_jaccard_pairs(df, 0.07, strategy="prefix").collect()
     }
     assert (1, 2) in jac
+    # and through the block strategy's size-ratio prune (n1 >= t*n2 was
+    # the same float-overestimate form: 7 >= 7.000000000000001 is false)
+    blk = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(df, 0.07, strategy="block").collect()
+    }
+    assert (1, 2) in blk

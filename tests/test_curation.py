@@ -152,3 +152,24 @@ def test_curation_containment_tier(spark, tmp_path):
     )
     res3 = pipe3.run(raw3, containment_threshold=1.0)
     assert res3.survivors.count() == 1
+
+
+def test_curation_quality_gate_language_agnostic_by_default(spark, tmp_path):
+    """The default quality gate must not silently drop non-English docs
+    (the north-rule corpus is multilingual; the English stopword rule is
+    opt-in via gopher_kwargs)."""
+    from datetime import datetime as _dt
+
+    base = _dt(2024, 1, 1)
+    rows = [
+        ("http://de.example/1", base, b"x",
+         " ".join(f"wort{i} sache{i} zeit{i} jahr{i}" for i in range(15)), "de"),
+        ("http://zh.example/1", base, b"y",
+         " ".join(f"zi{i} ci{i} ju{i} duan{i}" for i in range(15)), "zh"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pipe = CurationPipeline(spark, str(tmp_path / "cur_ml"))
+    res = pipe.run(raw)
+    assert res.survivors.count() == 2  # neither language is dropped

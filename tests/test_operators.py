@@ -763,3 +763,58 @@ def test_url_canonical_collapses_recrawl_variants(spark):
     df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], "i long, url string")
     canon = {r["canonical_url"] for r in normalize_urls(df).collect()}
     assert canon == {"http://a.com/p?x=1&y=2"}
+
+
+def test_resume_partitioned_resume_false_recomputes(spark, tmp_path):
+    """resume=False must recompute a committed sliced stage from scratch —
+    committed data AND the slice ledger are stale by declaration (e.g. the
+    input table was replaced; input data is not part of cfg_sha)."""
+    from localitysensitivesketch_spark.operators.signatures import compute_signatures
+    from localitysensitivesketch_spark.plans.pipeline import CheckpointStore
+
+    corpus = generate_corpus(n_docs=40, seed=31)
+    docs = with_doc_id(corpus_to_spark(spark, corpus)).cache()
+    pk = F.pmod(F.xxhash64(F.col("doc_id").cast("long")), F.lit(256)).cast("int")
+    keyed = docs.withColumn("part_key", pk)
+
+    def compute(sub):
+        return compute_signatures(sub.drop("part_key"), CFG).withColumn(
+            "part_key",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(256)).cast("int"),
+        )
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt_rf"), CFG)
+    store.resume_partitioned("signatures", keyed, compute, n_slices=2)
+    assert store.is_committed("signatures")
+
+    # "replace the input": only the first 10 docs remain
+    keep = docs.limit(10).cache()
+    keep_keyed = keep.withColumn("part_key", pk)
+    calls: list[int] = []
+    out = store.resume_partitioned(
+        "signatures", keep_keyed,
+        lambda sub: calls.append(1) or compute(sub),
+        n_slices=2, resume=False,
+    )
+    assert len(calls) == 2  # both slices recomputed, nothing served stale
+    assert out.count() == 10
+    # and the DedupPipeline wiring honors resume=False on the sliced path
+    p = DedupPipeline(spark, str(tmp_path / "ckpt_rf2"), CFG)
+    p.run(docs, signature_slices=2)
+    r2 = p.run(keep, resume=False, signature_slices=2)
+    assert r2.clusters.count() == 10
+    assert "signatures" in r2.stages_run
+
+
+def test_merge_components_labels_unknown_endpoints(spark):
+    """Edge endpoints absent from labels AND new_vertices must be labeled
+    implicitly (never silently dropped through the inner joins)."""
+    from localitysensitivesketch_spark.operators.cluster import merge_components
+
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    edges = spark.createDataFrame([(2, 99)], "id1 long, id2 long")  # 99 unknown
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in merge_components(labels, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 99: 1}

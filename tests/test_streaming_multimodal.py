@@ -381,3 +381,53 @@ def test_streaming_full_pipeline_clusters_match_batch(spark, tmp_path):
     )
     assert got2 == want
     assert spark.read.parquet(f"{store}/docs").count() == 80  # no dup rows
+
+
+def test_streaming_snapshot_crash_between_renames_recovers(spark, tmp_path):
+    """The snapshot swap's worst crash point — old snapshot renamed away,
+    new one not yet in place (cluster_path absent) — must recover on
+    replay: the fallback rebuilds the snapshot from the durably stored
+    per-batch docs+edges.  Stale staging garbage must also be tolerated."""
+    import shutil
+
+    path, docs = _write_docs(spark, tmp_path, n=60, seed=33, n_files=2)
+    store = str(tmp_path / "store_crash")
+    stream = ST.read_document_stream(
+        spark, path,
+        schema="url string, warc_ts timestamp, html binary, text string, "
+               "lang string, doc_id long",
+        max_files_per_trigger=1,
+    )
+    q = ST.incremental_candidates(spark, stream, CFG, store, full_pipeline=True)
+    q.awaitTermination(300)
+    want = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/clusters").collect()
+    )
+
+    # simulate: crash after rename(clusters -> old), before the new rename
+    shutil.move(f"{store}/clusters", f"{store}/clusters__old")
+    # plus stale staging garbage from the interrupted attempt
+    (tmp_path / "store_crash" / "clusters__staging").mkdir()
+    last_bid = (
+        spark.read.parquet(f"{store}/sigs").agg(F.max("batch_id")).collect()[0][0]
+    )
+    last_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/docs")
+        .filter(F.col("batch_id") == last_bid)
+        .collect()
+    }
+    replay_df = docs.filter(F.col("doc_id").isin(last_ids))
+    ST.process_incremental_batch(
+        spark, replay_df, int(last_bid), CFG, store, full_pipeline=True
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{store}/clusters").collect()
+    )
+    assert got == want
+    import os as _os
+
+    assert not _os.path.exists(f"{store}/clusters__old")
+    assert not _os.path.exists(f"{store}/clusters__staging")
