@@ -629,6 +629,90 @@ def _q_sketch_value_quantiles(spark, sf_dir):
     )
 
 
+def _pii_synth(spark, sf_dir):
+    """PII-laced text synthesized deterministically from the documents
+    table (testdata carries no real PII, by construction): emails on
+    doc_id%3==0, NANP phones on %4==1, dotted-quad IPs on %5==2 — so all
+    four count combinations (incl. zero) occur and the report is
+    non-vacuous."""
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"),
+                    F.lit("@mail-"), F.col("source"), F.lit(".org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((d * 7 % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 2,
+                F.concat(
+                    F.lit(" from 10."), (d % 200).cast("string"), F.lit(".3.7")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_report(spark, sf_dir):
+    """Per-document PII detection counts over the synthesized PII-laced
+    corpus — map-only regex scan, identical patterns in the RE2 oracle."""
+    from localitysensitivesketch_spark.operators.pii import pii_report
+
+    return pii_report(_pii_synth(spark, sf_dir))
+
+
+def _q_pii_redact(spark, sf_dir):
+    """Typed-placeholder redaction (email → phone → ipv4); the oracle
+    applies the same replace chain with DuckDB's global flag."""
+    from localitysensitivesketch_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_synth(spark, sf_dir)).select("doc_id", "redacted_text")
+
+
+def _q_quality_model_score(spark, sf_dir):
+    """fastText-shaped hashed linear classifier on the raw documents —
+    md5-family weights summed as exact 64-bit integers, one trailing
+    division, so the score is bit-deterministic across engines."""
+    return T.hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_host_blocklist(spark, sf_dir):
+    """Domain-blocklist tagging on synthesized urls (subdomain 'ads.' on
+    doc_id%3==0): exercises registrable-domain suffix matching (blocking
+    example-src3.com catches ads.example-src3.com), exact-subdomain
+    entries, and the mid-label non-match."""
+    from localitysensitivesketch_spark.operators.urls import (
+        mark_blocked_hosts,
+        normalize_urls,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.when(d % 3 == 0, F.lit("ads.")).otherwise(F.lit("")),
+            F.lit("example-"), F.col("source"), F.lit(".com/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    blocked = ["example-src3.com", "example-src7.com", "ads.example-src5.com"]
+    return mark_blocked_hosts(normalize_urls(docs), blocked).select(
+        "doc_id", "host", "blocked"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -687,6 +771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "bpe_token_stats": _q_bpe_token_stats,
         "url_normalize": _q_url_normalize,
+        "pii_report": _q_pii_report,
+        "pii_redact": _q_pii_redact,
+        "quality_model_score": _q_quality_model_score,
+        "host_blocklist": _q_host_blocklist,
     }
 
 
@@ -1794,6 +1882,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_shared_grams
             FROM tr JOIN ev USING (g)
             GROUP BY doc_id
+        """,
+        # same deterministic PII synthesis as _pii_synth, same RE2-safe
+        # patterns as operators/pii.py
+        "pii_report": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail-' || source || '.org' ELSE '' END
+                || CASE WHEN doc_id % 4 = 1
+                     THEN ' call 555-867-'
+                          || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                || CASE WHEN doc_id % 5 = 2
+                     THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.7'
+                     ELSE '' END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(t,
+                  '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+                len(regexp_extract_all(t,
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4
+              FROM synth
+            )
+            SELECT doc_id, n_emails, n_phones, n_ipv4,
+                   (n_emails + n_phones + n_ipv4) > 0 AS has_pii
+            FROM c
+        """,
+        "pii_redact": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail-' || source || '.org' ELSE '' END
+                || CASE WHEN doc_id % 4 = 1
+                     THEN ' call 555-867-'
+                          || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+                || CASE WHEN doc_id % 5 = 2
+                     THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.7'
+                     ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                AS redacted_text
+            FROM synth
+        """,
+        # integer-exact md5-family weights: sum is pure BIGINT arithmetic,
+        # one trailing division — bit-deterministic in both engines
+        "quality_model_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            t -> t <> '') AS ts
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(ts) AS n_tokens,
+                CASE WHEN len(ts) > 0 THEN round(
+                  CAST(list_sum(list_transform(ts, t ->
+                    ('0x' || substr(md5(t || ':42'), 1, 8))::BIGINT
+                    - 2147483648)) AS DOUBLE)
+                  / (len(ts) * 2147483648.0), 6) END AS score
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, score,
+                   coalesce(score > 0.0, FALSE) AS keep
+            FROM s
+        """,
+        "host_blocklist": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                'http://' || CASE WHEN doc_id % 3 = 0 THEN 'ads.' ELSE '' END
+                || 'example-' || source || '.com/p/' || CAST(doc_id AS VARCHAR)
+                  AS url
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '://([^/:?#]*)', 1)) AS host
+              FROM synth
+            )
+            SELECT doc_id, host,
+              (host = 'example-src3.com' OR host LIKE '%.example-src3.com'
+               OR host = 'example-src7.com' OR host LIKE '%.example-src7.com'
+               OR host = 'ads.example-src5.com'
+               OR host LIKE '%.ads.example-src5.com') AS blocked
+            FROM h
         """,
     }
     vc = _value_cluster_oracle()

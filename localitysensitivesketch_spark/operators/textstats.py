@@ -103,6 +103,78 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+_U31 = 2_147_483_648  # 2^31 — centers a u32 hash to a signed weight
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    dim: int | None = None,
+    weights: list[float] | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText/CCNet-style hashed linear document classifier: the score is
+    the mean over tokens of a weight looked up by token hash — the shape
+    every learned quality/domain filter in a web-corpus pipeline takes
+    (hash the token, index a weight table, average, threshold).
+
+    Two weight sources:
+
+    * ``weights=[...]`` with ``dim=len(weights)`` — a trained weight
+      vector, embedded as an array literal so the lookup
+      (``weights[h(token) % dim]``) runs inside whole-stage codegen with
+      no join and no broadcast variable;
+    * default (no weights) — weights derived from the seeded md5 family
+      itself: ``w(t) = u32(md5(t:seed)) - 2^31``, summed EXACTLY as
+      64-bit integers with one trailing division, so the score is
+      bit-deterministic across engines and partitionings (this is the
+      oracle-checked path; a real deployment swaps in trained weights
+      through the identical plan).
+
+    Map-only: no shuffle, no state, column-pruned scan.  Returns
+    ``(doc_id, n_tokens, score, keep)``; empty documents score NULL and
+    are not kept.
+    """
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+
+    def u32(t):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", t, F.lit(str(seed)))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    if weights is not None:
+        if dim is None:
+            dim = len(weights)
+        if dim != len(weights):
+            raise ValueError(f"dim={dim} != len(weights)={len(weights)}")
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        total = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + F.element_at(warr, (u32(t) % dim + 1).cast("int")),
+        )
+        score = F.round(F.try_divide(total, n), 6)
+    else:
+        total = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + (u32(t) - F.lit(_U31))
+        )
+        score = F.round(F.try_divide(total, n * F.lit(_U31)), 6)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        score.alias("score"),
+        F.coalesce(score > F.lit(threshold), F.lit(False)).alias("keep"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Language-ID heuristic: count marker-word hits per language lexicon,
     argmax wins ('und' = undetermined when all scores are 0).  The lexicons

@@ -64,3 +64,81 @@ def normalize_urls(
     return df.withColumn(out_col, canonical_url(F.col(url_col))).withColumn(
         "host", url_host(F.col(out_col))
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host with ≥2 labels, shortest→longest
+    (``a.b.com`` → ``[b.com, a.b.com]``).  Label-boundary suffixes are the
+    blocklist matching unit: blocking a registrable domain blocks every
+    subdomain, but never a bare TLD and never a mid-label substring.  A
+    single-label host (``localhost``) yields just itself."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+        ),
+    ).otherwise(F.array(host))
+
+
+def mark_blocked_hosts(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist tagging (the URL-level hygiene tier every web
+    corpus runs before text ever loads — C4's badwords/domain lists):
+    adds boolean ``blocked`` = some label-boundary suffix of ``host_col``
+    appears in the blocklist.
+
+    Two scale regimes, same semantics:
+
+    * ``blocked`` as a python list (small curated list) — an
+      ``array_contains`` over the suffix array entirely inside
+      whole-stage codegen: zero joins, zero shuffles, map-only;
+    * ``blocked`` as a DataFrame with column ``blocked_host`` (millions
+      of domains) — explode the ≤#labels suffixes of each row (narrow
+      ``(id, suffix)`` rows; the wide payload never moves) and broadcast
+      hash-join against the blocklist, then a left join back on id.  At
+      10^12 docs both sides of that join stay narrow.
+    """
+    host = F.col(host_col)
+    sufs = host_suffixes(host)
+    if isinstance(blocked, list):
+        arr = F.array(*[F.lit(b.lower()) for b in blocked])
+        return df.withColumn(
+            "blocked", F.exists(sufs, lambda s: F.array_contains(arr, s))
+        )
+    hits = (
+        df.select(F.col(id_col), F.explode(sufs).alias("suffix"))
+        .join(
+            F.broadcast(
+                blocked.select(F.lower(F.col("blocked_host")).alias("suffix"))
+            ),
+            "suffix",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only rows whose host matches no blocklist entry (see
+    :func:`mark_blocked_hosts` for the matching rule and scale paths)."""
+    return (
+        mark_blocked_hosts(df, blocked, host_col=host_col, id_col=id_col)
+        .filter(~F.col("blocked"))
+        .drop("blocked")
+    )

@@ -1,0 +1,161 @@
+"""Round-3 training-data additions: PII detect/redact, hashed linear
+quality classifier, domain-blocklist URL filter.  Each oracle here is a
+plain-python loop shadow (no Spark machinery shared with production)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.operators import pii as P
+from localitysensitivesketch_spark.operators import textstats as T
+from localitysensitivesketch_spark.operators.urls import (
+    filter_blocked_hosts,
+    host_suffixes,
+    mark_blocked_hosts,
+)
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    (0, "mail me at alice.smith+x@sub.Example.org or bob@ex.co today"),
+    (1, "call 555-867-5309 or 415.555.0000 from host 10.0.0.1"),
+    (2, "nothing sensitive here, just 1.2 numbers and a.b.c words"),
+    (3, "edge: 999.999.999.999 still dotted-quad shaped; a@b.io"),
+    (4, ""),
+]
+
+
+def _py_counts(text: str) -> tuple[int, int, int]:
+    return (
+        len(re.findall(P.EMAIL_PAT, text)),
+        len(re.findall(P.PHONE_PAT, text)),
+        len(re.findall(P.IPV4_PAT, text)),
+    )
+
+
+def test_pii_report_matches_python_shadow(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in P.pii_report(df).collect()}
+    for doc_id, text in PII_DOCS:
+        e, p, i = _py_counts(text)
+        r = got[doc_id]
+        assert (r["n_emails"], r["n_phones"], r["n_ipv4"]) == (e, p, i), doc_id
+        assert r["has_pii"] == (e + p + i > 0)
+
+
+def test_pii_redact_matches_python_shadow_and_keeps_raw(spark):
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in P.redact_pii(df).collect()}
+    for doc_id, text in PII_DOCS:
+        expect = re.sub(P.EMAIL_PAT, P.EMAIL_TOKEN, text)
+        expect = re.sub(P.PHONE_PAT, P.PHONE_TOKEN, expect)
+        expect = re.sub(P.IPV4_PAT, P.IPV4_TOKEN, expect)
+        assert got[doc_id]["redacted_text"] == expect, doc_id
+        assert got[doc_id]["text"] == text  # raw bytes untouched
+    # email hosts are swallowed whole — no half-redacted '<IP>' inside them
+    assert "<EMAIL>" in got[0]["redacted_text"]
+    assert "@" not in got[0]["redacted_text"]
+
+
+def test_pii_redact_order_email_before_ipv4(spark):
+    # the address's host is a dotted quad: must become <EMAIL>, not u@<IP>
+    df = spark.createDataFrame([(0, "u@1.2.3.4.io and bare 1.2.3.4")],
+                               "doc_id long, text string")
+    out = P.redact_pii(df).collect()[0]["redacted_text"]
+    assert out == "<EMAIL> and bare <IP>"
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _u32(tok: str, seed: int = 42) -> int:
+    return int(hashlib.md5(f"{tok}:{seed}".encode()).hexdigest()[:8], 16)
+
+
+def test_hashed_linear_score_matches_integer_shadow(spark):
+    docs = [(0, "the quick brown fox"), (1, "spark  spark "), (2, ""), (3, "Zebra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.hashed_linear_score(df).collect()}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        if not toks:
+            assert got[doc_id]["score"] is None and got[doc_id]["keep"] is False
+            continue
+        total = sum(_u32(t) - 2**31 for t in toks)  # exact int arithmetic
+        expect = round(total / (len(toks) * 2**31), 6)
+        assert got[doc_id]["score"] == pytest.approx(expect, abs=1e-9)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["keep"] == (expect > 0.0)
+
+
+def test_hashed_linear_score_trained_weights_lookup(spark):
+    w = [0.5, -1.0, 2.0, 0.25, -0.75, 1.5, -2.0, 0.0]
+    docs = [(0, "alpha beta gamma delta"), (1, "alpha alpha")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.hashed_linear_score(df, weights=w).collect()}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        expect = round(sum(w[_u32(t) % len(w)] for t in toks) / len(toks), 6)
+        assert got[doc_id]["score"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_hashed_linear_score_partition_invariant(spark):
+    rows = [(i, f"tok{i % 7} tok{i % 3} filler word{i}") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    a = {r["doc_id"]: r["score"] for r in T.hashed_linear_score(df1).collect()}
+    b = {r["doc_id"]: r["score"] for r in T.hashed_linear_score(df8).collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist
+# ---------------------------------------------------------------------------
+
+HOSTS = [
+    (0, "ads.tracker.com"),
+    (1, "tracker.com"),
+    (2, "nottracker.com"),       # mid-label: must NOT match tracker.com
+    (3, "deep.sub.tracker.com"),
+    (4, "tracker.com.evil.net"), # suffix rule: does NOT match tracker.com
+    (5, "localhost"),
+    (6, "good.example.org"),
+]
+BLOCKED = ["tracker.com", "localhost"]
+EXPECT_BLOCKED = {0, 1, 3, 5}
+
+
+def test_host_suffixes_label_boundaries(spark):
+    df = spark.createDataFrame([(0, "a.b.com"), (1, "x")], "i long, host string")
+    got = {r["i"]: r["s"] for r in df.select("i", host_suffixes(F.col("host")).alias("s")).collect()}
+    assert got[0] == ["b.com", "a.b.com"]
+    assert got[1] == ["x"]
+
+
+@pytest.mark.parametrize("as_df", [False, True])
+def test_mark_blocked_hosts_both_paths(spark, as_df):
+    df = spark.createDataFrame(HOSTS, "doc_id long, host string")
+    blocked = (
+        spark.createDataFrame([(b,) for b in BLOCKED], "blocked_host string")
+        if as_df
+        else BLOCKED
+    )
+    got = {r["doc_id"]: r["blocked"] for r in mark_blocked_hosts(df, blocked).collect()}
+    assert {k for k, v in got.items() if v} == EXPECT_BLOCKED
+    kept = {r["doc_id"] for r in filter_blocked_hosts(df, blocked).collect()}
+    assert kept == {i for i, _ in HOSTS} - EXPECT_BLOCKED
+
+
+def test_mark_blocked_hosts_df_path_is_broadcast(spark):
+    df = spark.createDataFrame(HOSTS, "doc_id long, host string")
+    blocked = spark.createDataFrame([(b,) for b in BLOCKED], "blocked_host string")
+    plan = mark_blocked_hosts(df, blocked)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
