@@ -713,6 +713,21 @@ def _q_host_blocklist(spark, sf_dir):
     )
 
 
+def _q_duplicate_span_stats(spark, sf_dir):
+    """ExactSubstr-style sliding-window duplicate-span audit (Lee et al.
+    ACL'22) at window_tokens=20 — non-vacuous on this corpus (23 docs
+    carry cross-document verbatim runs at sf0.01).  The oracle recomputes
+    tokens_removed independently as a distinct-count over exploded window
+    indices, so the merged-span fold is cross-checked end to end."""
+    from localitysensitivesketch_spark.operators.corpus import (
+        duplicate_span_stats,
+    )
+
+    return duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), window_tokens=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -775,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "quality_model_score": _q_quality_model_score,
         "host_blocklist": _q_host_blocklist,
+        "duplicate_span_stats": _q_duplicate_span_stats,
     }
 
 
@@ -1835,6 +1851,48 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS dup_segment_frac
             FROM segs s JOIN seg_docs d USING (h)
             GROUP BY s.doc_id
+        """,
+        # ExactSubstr sliding-window span audit at w=20: dup = window hash
+        # in >=2 distinct docs; keep_first exempts the global min
+        # (doc_id,pos) occurrence; tokens_removed recomputed independently
+        # as a distinct-count over exploded window token indices (no span
+        # merging — the union IS the merged spans' coverage).
+        "duplicate_span_stats": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id,
+                     CAST(unnest(range(0, len(t) - 19)) AS INT) AS pos, t
+              FROM toks WHERE len(t) >= 20
+            ), occ2 AS (
+              SELECT doc_id, pos,
+                     md5(array_to_string(t[pos+1 : pos+20], ' ')) AS h
+              FROM occ
+            ), dup AS (
+              SELECT h FROM occ2 GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM (
+                SELECT o.doc_id, o.pos,
+                       row_number() OVER (
+                         PARTITION BY o.h ORDER BY o.doc_id, o.pos) AS rn
+                FROM occ2 o JOIN dup USING (h)
+              ) WHERE rn > 1
+            ), rem AS (
+              SELECT doc_id, count(*) AS tokens_removed FROM (
+                SELECT DISTINCT doc_id,
+                       CAST(unnest(range(pos, pos + 20)) AS INT) AS idx
+                FROM hits
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(r.tokens_removed, 0) AS BIGINT)
+                     AS tokens_removed,
+                   round(coalesce(r.tokens_removed, 0) * 1.0 / len(d.t), 6)
+                     AS frac_removed
+            FROM toks d LEFT JOIN rem r USING (doc_id)
         """,
         # Gopher repetition ratios, long format over n in (2, 3)
         "repetition_stats": """

@@ -384,3 +384,208 @@ def gopher_filter(
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", reasons).alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style sliding-window duplicate-span removal
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_occurrences(
+    df: DataFrame,
+    window_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, h) for EVERY ``window_tokens``-token sliding window
+    (pos is the 0-based token offset; h = md5 of the window's tokens
+    joined by one space, kept as 16-byte binary rather than 32-char hex —
+    halves the bytes of the one thing this scan shuffles; 128 bits, so
+    hash-equality is span-equality for any realistic corpus).
+
+    This is the Spark-first realization of the ExactSubstr scan (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better", ACL
+    2022 §4.1): their single-machine suffix array becomes ~n narrow
+    ``(long, int, binary16)`` rows per document feeding a plain hash
+    aggregation — embarrassingly parallel, no co-location, no driver
+    state.  The window strings are transient inside whole-stage codegen
+    (O(n·w) chars per doc, never materialized to storage or shuffle —
+    only the 16-byte hash moves).
+    """
+    t = _tokens(text_col)
+    n = F.size(t)
+    w = int(window_tokens)
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.unhex(
+                    F.md5(F.array_join(F.slice(t, i + 1, w), " "))
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:binary>>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
+def duplicate_span_hits(
+    df: DataFrame,
+    window_tokens: int = 50,
+    scope: str = "docs",
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos) occurrences of duplicated ``window_tokens``-token
+    windows — the positions :func:`remove_duplicate_spans` cuts.
+
+    ``scope="docs"`` (ExactSubstr's rule): a window is duplicated when it
+    occurs in ≥2 distinct documents.  ``"occurrences"``: ≥2 occurrences
+    anywhere, intra-document repeats included.  ``keep_first=True``
+    exempts the globally-first occurrence per window hash (min (doc_id,
+    pos)) so one copy of every span survives the cut — Lee et al. remove
+    the span from all but one document.
+
+    Shuffle shape: one hash aggregation over (h) with map-side combine,
+    then a fact-dim join of occurrences against the aggregated dup rows
+    (hot boilerplate hashes are single rows after the agg; AQE handles
+    residual skew).  Text never moves.
+    """
+    occ = sliding_window_occurrences(df, window_tokens, id_col, text_col)
+    if scope == "docs":
+        agg = F.count_distinct(F.col("doc_id"))
+    elif scope == "occurrences":
+        agg = F.count(F.lit(1))
+    else:
+        raise ValueError(f"scope must be 'docs' or 'occurrences', got {scope!r}")
+    dup = occ.groupBy("h").agg(agg.alias("n")).filter(F.col("n") >= 2).select("h")
+    hits = occ.join(dup, "h")
+    if keep_first:
+        keeper = (
+            hits.groupBy("h")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+            .select(
+                "h",
+                F.col("k.doc_id").alias("kdoc"),
+                F.col("k.pos").alias("kpos"),
+            )
+        )
+        hits = hits.join(keeper, "h").filter(
+            (F.col("doc_id") != F.col("kdoc")) | (F.col("pos") != F.col("kpos"))
+        )
+    return hits.select("doc_id", "pos")
+
+
+def _merged_spans(ps: Column, window_tokens: int) -> Column:
+    """Sorted hit positions → disjoint merged token spans
+    array<struct<start,end>> (end exclusive): a fold that either extends
+    the last span (next window starts at or before its end) or opens a new
+    one.  Runs inside codegen; span count is bounded by hit count."""
+    w = F.lit(int(window_tokens))
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+
+    def step(acc: Column, p: Column) -> Column:
+        # try_element_at: NULL (not an error) on the empty accumulator —
+        # the coalesce below then routes to the open-new-span branch
+        last = F.try_element_at(acc, F.lit(-1))
+        ext = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["start"].alias("start"), (p + w).cast("int").alias("end")
+                )
+            ),
+        )
+        new = F.concat(
+            acc,
+            F.array(
+                F.struct(p.cast("int").alias("start"), (p + w).cast("int").alias("end"))
+            ),
+        )
+        return F.when(F.coalesce(p <= last["end"], F.lit(False)), ext).otherwise(new)
+
+    return F.aggregate(ps, empty, step)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 50,
+    scope: str = "docs",
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup as a corpus transformation: cut every duplicated
+    ≥``window_tokens``-token span (any offset — sliding windows, unlike
+    the fixed C4 chunk boundaries of :func:`drop_duplicate_segments`),
+    keeping one global copy when ``keep_first``.
+
+    Adds ``spans`` (merged token-offset ranges removed, for audit),
+    ``clean_text`` (tokens outside every span, space-joined), and
+    ``tokens_removed``.  The raw ``text_col`` is untouched (input_hint
+    invariant).  Only (doc_id, pos) hit rows and the per-doc span arrays
+    cross the wire — the cut itself is an index-filtered rebuild in the
+    document's scan stage.
+    """
+    hits = duplicate_span_hits(
+        df, window_tokens, scope, keep_first, id_col, text_col
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("ps")
+    )
+    per_doc = per_doc.select(
+        F.col("doc_id").alias("__span_doc_id"),
+        _merged_spans(F.col("ps"), window_tokens).alias("spans"),
+    )
+    out = df.join(
+        per_doc, F.col(id_col) == F.col("__span_doc_id"), "left"
+    ).drop("__span_doc_id")
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<start:int,end:int>>")
+    )
+    toks = _tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            spans, lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    removed = F.aggregate(
+        spans, F.lit(0), lambda acc, s: acc + (s["end"] - s["start"])
+    )
+    return (
+        out.withColumn("spans", spans)
+        .withColumn("clean_text", F.array_join(kept, " "))
+        .withColumn("tokens_removed", removed.cast("long"))
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    window_tokens: int = 50,
+    scope: str = "docs",
+    keep_first: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document audit of the ExactSubstr cut: ``(doc_id, n_tokens,
+    tokens_removed, frac_removed)`` for every document (zero rows
+    included).  The oracle-friendly projection of
+    :func:`remove_duplicate_spans` — tokens_removed equals the size of
+    the union of hit windows, which the SQL oracle recomputes
+    independently as a distinct-count over exploded window indices."""
+    cleaned = remove_duplicate_spans(
+        df, window_tokens, scope, keep_first, id_col, text_col
+    )
+    n = F.size(_tokens(text_col))
+    return cleaned.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.col("tokens_removed"),
+        F.round(F.try_divide(F.col("tokens_removed"), n), 6).alias("frac_removed"),
+    )

@@ -11,6 +11,10 @@ promise (``operators/dedup.py``) over the north-rule table
       → quality gate                  (Gopher rules, keep+reasons)
       → MinHash+LSH near-dup clusters (the checkpointed DedupPipeline)
       → survivors                     (canonical doc per cluster)
+      → containment tier              (optional: ``containment_threshold``)
+      → ExactSubstr span cut          (optional: ``exactsubstr_window`` —
+                                       cross-doc ≥w-token runs removed
+                                       into ``clean_text``; raw text kept)
 
 Every stage is committed through the same :class:`CheckpointStore`
 protocol as the dedup spine, so an interrupted curation run resumes at
@@ -37,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
-from ..operators.corpus import gopher_filter
+from ..operators.corpus import gopher_filter, remove_duplicate_spans
 from ..operators.dedup import containment_pairs, exact_dedup, latest_capture
 from ..operators.signatures import with_doc_id
 from ..operators.urls import normalize_urls
@@ -91,6 +95,8 @@ class CurationPipeline:
         text_col: str = "text",
         canonicalize: bool = False,
         containment_threshold: float | None = None,
+        exactsubstr_window: int | None = None,
+        exactsubstr_min_remaining: int = 0,
     ) -> CurationResult:
         """``canonicalize=True`` collapses cosmetic url variants
         (case/port/fragment/slash/query-order — ``operators/urls.py``)
@@ -198,6 +204,34 @@ class CurationPipeline:
                 "containment_kept", _containment_kept, resume, ran, reused
             )
             tiers.append(("containment", survivors))
+        if exactsubstr_window is not None:
+            w = int(exactsubstr_window)
+            min_rem = int(exactsubstr_min_remaining)
+
+            def _span_cleaned():
+                # ExactSubstr tier (Lee et al. ACL'22; the RefinedWeb
+                # funnel runs it after document-level near-dup for the
+                # same reason we do: document dedup cannot see a
+                # boilerplate run shared between otherwise-distinct
+                # pages).  The raw ``text`` column is untouched
+                # (input_hint byte-identity invariant); the cut lands in
+                # ``clean_text``/``spans``/``tokens_removed``, and docs
+                # left with fewer than ``exactsubstr_min_remaining``
+                # tokens outside duplicated spans are dropped.
+                cleaned = remove_duplicate_spans(
+                    survivors, window_tokens=w, text_col=text_col
+                )
+                if min_rem > 0:
+                    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    cleaned = cleaned.filter(
+                        (n - F.col("tokens_removed")) >= min_rem
+                    )
+                return cleaned
+
+            survivors = self._stage(
+                "span_cleaned", _span_cleaned, resume, ran, reused
+            )
+            tiers.append(("exactsubstr", survivors))
         funnel = self._stage(
             "funnel",
             lambda: self._funnel(raw, tiers),

@@ -173,3 +173,68 @@ def test_curation_quality_gate_language_agnostic_by_default(spark, tmp_path):
     pipe = CurationPipeline(spark, str(tmp_path / "cur_ml"))
     res = pipe.run(raw)
     assert res.survivors.count() == 2  # neither language is dropped
+
+
+def test_curation_exactsubstr_tier(spark, tmp_path):
+    """Optional ExactSubstr span tier: a long run shared at DIFFERENT
+    offsets by two otherwise-distinct pages (invisible to document-level
+    near-dup at this jaccard) is cut from all but one page; raw text is
+    untouched; min-remaining drops the gutted page."""
+    from datetime import datetime as _dt
+
+    base = _dt(2024, 1, 1)
+    run = " ".join(f"runword{i}" for i in range(10))  # 10-token shared run
+    pad_a = " ".join(f"alphapad{i}" for i in range(5))
+    pad_b = " ".join(f"bravopad{i}" for i in range(5))
+    other = " ".join(f"charlie{i}" for i in range(15))
+    rows = [
+        ("http://x.com/a", base, b"<a>", f"{pad_a} {run}", "en"),
+        ("http://x.com/b", base, b"<b>", f"{run} {pad_b}", "en"),
+        ("http://x.com/c", base, b"<c>", other, "en"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pipe = CurationPipeline(
+        spark, str(tmp_path / "cur_span"), gopher_kwargs=GOPHER
+    )
+    res = pipe.run(raw, exactsubstr_window=5)
+    out = {r["url"]: r for r in res.survivors.collect()}
+    assert set(out) == {r[0] for r in rows}
+    # raw text byte-identical everywhere (input_hint invariant)
+    for url, _, _, text, _ in rows:
+        assert out[url]["text"] == text
+    # exactly one of a/b keeps the run, the other loses all 10 tokens
+    removed = sorted(
+        (out["http://x.com/a"]["tokens_removed"],
+         out["http://x.com/b"]["tokens_removed"])
+    )
+    assert removed == [0, 10]
+    loser = (
+        "http://x.com/a"
+        if out["http://x.com/a"]["tokens_removed"] == 10
+        else "http://x.com/b"
+    )
+    pad = pad_a if loser.endswith("/a") else pad_b
+    assert out[loser]["clean_text"] == pad
+    assert out["http://x.com/c"]["tokens_removed"] == 0
+    stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in res.funnel.collect()}
+    assert stages["exactsubstr"] == (3, 3)  # min_remaining=0 keeps all
+    assert "span_cleaned" in res.stages_run
+
+    # resume reuses the tier, identical output
+    res2 = pipe.run(raw, exactsubstr_window=5)
+    assert "span_cleaned" in res2.stages_resumed
+    out2 = {r["url"]: r["tokens_removed"] for r in res2.survivors.collect()}
+    assert out2 == {u: r["tokens_removed"] for u, r in out.items()}
+
+    # min-remaining: the loser keeps only its 5 pad tokens -> dropped at 6
+    pipe3 = CurationPipeline(
+        spark, str(tmp_path / "cur_span_min"), gopher_kwargs=GOPHER
+    )
+    res3 = pipe3.run(
+        raw, exactsubstr_window=5, exactsubstr_min_remaining=6
+    )
+    stages3 = {r["stage"]: (r["n_in"], r["n_out"]) for r in res3.funnel.collect()}
+    assert stages3["exactsubstr"] == (3, 2)
+    assert loser not in {r["url"] for r in res3.survivors.select("url").collect()}

@@ -1,0 +1,137 @@
+"""ExactSubstr-style sliding-window duplicate-span removal: python-loop
+shadow oracle, keep-one semantics, merge behavior, C4-chunk contrast."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from localitysensitivesketch_spark.operators.corpus import (
+    duplicate_span_hits,
+    duplicate_span_stats,
+    remove_duplicate_spans,
+    sliding_window_occurrences,
+)
+
+W = 5
+
+RUN = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"  # 10 toks
+DOCS = [
+    (0, f"start zero {RUN} tail zero ends"),
+    (1, f"other head {RUN} and unrelated words here now"),
+    (2, "totally distinct content with no shared runs at all everywhere"),
+    (3, f"{RUN} {RUN}"),  # intra-doc repeat of the run
+    (4, "tiny doc"),  # shorter than the window
+]
+
+
+def _shadow_hits(docs, w=W, scope="docs", keep_first=True):
+    occ = []
+    for doc_id, text in docs:
+        toks = text.split()
+        for p in range(len(toks) - w + 1):
+            h = hashlib.md5(" ".join(toks[p : p + w]).encode()).hexdigest()
+            occ.append((doc_id, p, h))
+    by_h: dict[str, list[tuple[int, int]]] = {}
+    for d, p, h in occ:
+        by_h.setdefault(h, []).append((d, p))
+    dup = {
+        h
+        for h, v in by_h.items()
+        if (len({d for d, _ in v}) if scope == "docs" else len(v)) >= 2
+    }
+    hits = []
+    for h in dup:
+        v = sorted(by_h[h])
+        hits.extend(v[1:] if keep_first else v)
+    return sorted(hits)
+
+
+def _shadow_removed(docs, w=W, **kw):
+    hits = _shadow_hits(docs, w, **kw)
+    per: dict[int, set[int]] = {}
+    for d, p in hits:
+        per.setdefault(d, set()).update(range(p, p + w))
+    return per
+
+
+@pytest.mark.parametrize("scope", ["docs", "occurrences"])
+def test_span_hits_match_python_shadow(spark, scope):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["pos"])
+        for r in duplicate_span_hits(df, W, scope=scope).collect()
+    )
+    assert got == _shadow_hits(DOCS, scope=scope)
+
+
+def test_remove_duplicate_spans_rebuild_matches_shadow(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, W).collect()}
+    removed = _shadow_removed(DOCS)
+    for doc_id, text in DOCS:
+        toks = text.split()
+        cut = removed.get(doc_id, set())
+        expect = " ".join(t for i, t in enumerate(toks) if i not in cut)
+        r = out[doc_id]
+        assert r["clean_text"] == expect, doc_id
+        assert r["tokens_removed"] == len(cut)
+        assert r["text"] == text  # raw text untouched
+        # spans are disjoint, sorted, and cover exactly the cut set
+        spans = [(s["start"], s["end"]) for s in r["spans"]]
+        assert spans == sorted(spans)
+        assert all(a2 > e1 for (_, e1), (a2, _) in zip(spans, spans[1:]))
+        assert {i for a, e in spans for i in range(a, e)} == cut
+
+
+def test_keep_first_leaves_one_global_copy(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, W).collect()}
+    # doc 0 holds the globally-first occurrence of the run: untouched
+    assert out[0]["tokens_removed"] == 0 and out[0]["clean_text"] == DOCS[0][1]
+    # docs 1 and 3 lose the full 10-token run (doc 3 loses both copies)
+    assert out[1]["tokens_removed"] == 10
+    assert out[3]["tokens_removed"] == 20 and out[3]["clean_text"] == ""
+    # untouched docs
+    assert out[2]["tokens_removed"] == 0 and out[4]["tokens_removed"] == 0
+
+
+def test_span_stats_covers_all_docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df, W).collect()}
+    assert set(got) == {d for d, _ in DOCS}
+    assert got[1]["frac_removed"] == pytest.approx(10 / 9 / 1, abs=1)  # sanity
+    assert got[2]["tokens_removed"] == 0 and got[2]["frac_removed"] == 0.0
+    assert got[4]["n_tokens"] == 2 and got[4]["tokens_removed"] == 0
+
+
+def test_sliding_beats_fixed_chunks_on_offset_dup(spark):
+    """The motivating case vs drop_duplicate_segments: the same run at
+    DIFFERENT offsets in two docs is invisible to fixed chunk boundaries
+    but fully caught by sliding windows."""
+    from localitysensitivesketch_spark.operators.corpus import (
+        drop_duplicate_segments,
+    )
+
+    run = " ".join(f"w{i}" for i in range(10))
+    docs = [(0, f"a b c {run} x y"), (1, f"p {run} q r s t")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c4 = drop_duplicate_segments(df, mode="token_chunks", chunk_tokens=5)
+    assert all(r["clean_text"] == r["text"] for r in c4.collect())  # misses it
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(df, 5).collect()}
+    assert got[0]["tokens_removed"] == 0  # keeper
+    assert got[1]["tokens_removed"] == 10
+
+
+def test_window_occurrence_counts(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    occ = sliding_window_occurrences(df, W)
+    per = {r["doc_id"]: r["n"] for r in occ.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for doc_id, text in DOCS:
+        n = len(text.split())
+        if n >= W:
+            assert per[doc_id] == n - W + 1
+        else:
+            assert doc_id not in per
