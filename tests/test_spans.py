@@ -58,11 +58,12 @@ def _shadow_removed(docs, w=W, **kw):
 
 
 @pytest.mark.parametrize("scope", ["docs", "occurrences"])
-def test_span_hits_match_python_shadow(spark, scope):
+@pytest.mark.parametrize("method", ["arrow", "sql"])
+def test_span_hits_match_python_shadow(spark, scope, method):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = sorted(
         (r["doc_id"], r["pos"])
-        for r in duplicate_span_hits(df, W, scope=scope).collect()
+        for r in duplicate_span_hits(df, W, scope=scope, method=method).collect()
     )
     assert got == _shadow_hits(DOCS, scope=scope)
 
