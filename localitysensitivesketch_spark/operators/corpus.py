@@ -459,9 +459,18 @@ def sliding_window_occurrences(
 
     def scan(batches):
         import hashlib
+        import re
 
         import numpy as np
         import pandas as pd
+
+        # exact Spark semantics, so arrow and sql hit sets are identical
+        # even on exotic whitespace: SQL trim strips ONLY U+0020 spaces,
+        # Java regex \s is ASCII [ \t\n\x0B\f\r], and Spark's split keeps
+        # leading/trailing empties (limit -1) exactly like re.split —
+        # python str.split would instead also split U+00A0 etc. and drop
+        # empties, a silent divergence
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         # memoized token -> (id1, id2): one blake2b-128 per DISTINCT token
         cache: dict[str, tuple[int, int]] = {}
@@ -477,14 +486,16 @@ def sliding_window_occurrences(
                 cache[tok] = v
             return v
 
-        # two independent odd bases; B^(w-1-j) weight vectors (uint64 wrap)
-        B1, B2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
-        pw1 = np.empty(w, dtype=np.uint64)
-        pw2 = np.empty(w, dtype=np.uint64)
-        pw1[w - 1] = pw2[w - 1] = np.uint64(1)
-        for j in range(w - 2, -1, -1):
-            pw1[j] = pw1[j + 1] * B1
-            pw2[j] = pw2[j + 1] * B2
+        # two independent odd bases; B^(w-1-j) weight vectors, built with
+        # python ints mod 2^64 (numpy SCALAR uint64 multiply warns on
+        # overflow; array ops below wrap silently, which is what we want)
+        B1, B2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+        pw1 = np.array(
+            [pow(B1, w - 1 - j, 1 << 64) for j in range(w)], dtype=np.uint64
+        )
+        pw2 = np.array(
+            [pow(B2, w - 1 - j, 1 << 64) for j in range(w)], dtype=np.uint64
+        )
         swv = np.lib.stride_tricks.sliding_window_view
 
         for pdf in batches:
@@ -494,7 +505,8 @@ def sliding_window_occurrences(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = text.split() or [""]  # split(trim, \s+) semantics
+                # split(trim(text), '\s+') semantics, bit-exact vs sql
+                toks = java_ws.split(text.strip(" "))
                 n = len(toks)
                 if n < w:
                     continue

@@ -136,3 +136,64 @@ def test_window_occurrence_counts(spark):
             assert per[doc_id] == n - W + 1
         else:
             assert doc_id not in per
+
+
+def test_arrow_and_sql_paths_identical_on_adversarial_whitespace(spark):
+    """The arrow scan reimplements split(trim(text), '\\s+') in python; pin
+    bit-exact agreement with the sql path on the cases where python's
+    default str.split would silently diverge (unicode NBSP, tabs,
+    leading/trailing ASCII whitespace, empty/whitespace-only docs)."""
+    docs = [
+        (0, "plain alpha beta gamma delta alpha beta gamma delta"),
+        (1, "  leading and trailing spaces alpha beta gamma delta  "),
+        (2, "tab\tseparated alpha beta gamma delta here"),
+        (3, "nbsp joined alpha beta gamma delta here"),  # NBSP != \s
+        (4, "nl\nand\rcr alpha beta gamma delta here"),
+        (5, "\tleading tab alpha beta gamma delta here"),
+        (6, ""),
+        (7, "   "),
+        (8, "\t\t"),
+        (9, None),
+        (10, "plain alpha beta gamma delta alpha beta gamma delta"),  # dup of 0
+        (11, "nbsp joined alpha beta gamma delta here"),  # dup of 3
+        (12, "tab\tseparated alpha beta gamma delta here"),  # dup of 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w in (2, 3):
+        a = sorted(map(tuple, duplicate_span_hits(df, w, method="arrow").collect()))
+        s = sorted(map(tuple, duplicate_span_hits(df, w, method="sql").collect()))
+        assert a == s, f"w={w}: arrow={a} sql={s}"
+        assert a, f"w={w}: vacuous fixture"
+
+
+def test_arrow_sql_identity_random_corpora(spark):
+    """Randomized cross-check of the two scan implementations: shared
+    token pool forces plenty of hash-grouped windows; every (doc_id, pos)
+    hit and every per-doc tokens_removed must agree."""
+    import random
+
+    rng = random.Random(77)
+    pool = [f"tok{i}" for i in range(8)]  # small pool => real collisions
+    docs = []
+    for d in range(40):
+        n = rng.randint(0, 25)
+        docs.append((d, " ".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w, scope in ((3, "docs"), (4, "occurrences")):
+        a = sorted(
+            map(tuple, duplicate_span_hits(df, w, scope=scope, method="arrow").collect())
+        )
+        s = sorted(
+            map(tuple, duplicate_span_hits(df, w, scope=scope, method="sql").collect())
+        )
+        assert a == s
+        ra = {
+            r["doc_id"]: r["tokens_removed"]
+            for r in duplicate_span_stats(df, w, scope=scope, method="arrow").collect()
+        }
+        rs = {
+            r["doc_id"]: r["tokens_removed"]
+            for r in duplicate_span_stats(df, w, scope=scope, method="sql").collect()
+        }
+        assert ra == rs
+        assert sum(ra.values()) > 0  # non-vacuous

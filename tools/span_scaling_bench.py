@@ -65,6 +65,7 @@ def run_level(cpus: int, data: str) -> dict:
         "rows": agg["rows"],
         "tokens_removed": agg["tokens_removed"],
         "docs_touched": agg["docs_touched"],
+        "n_tokens": agg["n_tokens"],
     }
     spark.stop()
     return out
