@@ -163,3 +163,39 @@ def test_gopher_filter_empty_text_null_ratio_rules_stay_silent(spark):
         assert "n_tokens" in rs
         assert "punct_ratio" not in rs
     assert "chars_per_token" in out[1]  # 0 chars / 1 token = 0 < min
+
+
+def test_repetition_and_decontamination_method_parity(spark):
+    """arrow (mapInPandas Counter / rolling-hash grams) and sql (HOF
+    explode) paths must produce bit-identical outputs — the DuckDB oracle
+    mirrors the sql form, so this pins the fast default to the oracle."""
+    from localitysensitivesketch_spark.operators.corpus import (
+        contamination_report,
+        repetition_stats,
+    )
+
+    docs = [
+        (0, "a b a b a b c d e f"),
+        (1, "x y z x y z x y z"),
+        (2, "all distinct tokens in this one right here"),
+        (3, "  leading ws a b a b  "),
+        (4, "one"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for ns in ((2, 3), (2,), (4,)):
+        a = sorted(map(tuple, repetition_stats(df, ns=ns).collect()))
+        s = sorted(map(tuple, repetition_stats(df, ns=ns, method="sql").collect()))
+        assert a == s and (not a) == (len(ns) == 0)
+    bench = spark.createDataFrame(
+        [(100, "a b a b zz qq"), (101, "x y z unrelated")],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        a = sorted(map(tuple, contamination_report(df, bench, n=n).collect()))
+        s = sorted(
+            map(tuple, contamination_report(df, bench, n=n, method="sql").collect())
+        )
+        assert a == s
+        assert a  # non-vacuous: shared grams exist at these n
