@@ -1960,12 +1960,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), c AS (
               SELECT doc_id,
-                len(regexp_extract_all(t,
-                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
-                len(regexp_extract_all(t,
-                  '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
-                len(regexp_extract_all(t,
-                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4
+                coalesce(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')), 0) AS n_emails,
+                coalesce(len(regexp_extract_all(t,
+                  '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')), 0) AS n_phones,
+                coalesce(len(regexp_extract_all(t,
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')), 0) AS n_ipv4
               FROM synth
             )
             SELECT doc_id, n_emails, n_phones, n_ipv4,

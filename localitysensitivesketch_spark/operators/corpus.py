@@ -268,7 +268,7 @@ def repetition_stats(
                         t_out.append(max(c.values()))
                 yield pd.DataFrame(
                     {
-                        "doc_id": pd.Series(doc_out, dtype="int64"),
+                        "doc_id": pd.Series(doc_out),
                         "gram_n": pd.Series(n_out, dtype="int32"),
                         "n_grams": pd.Series(g_out, dtype="int64"),
                         "n_dup_grams": pd.Series(d_out, dtype="int64"),
@@ -276,11 +276,12 @@ def repetition_stats(
                     }
                 )
 
+        id_type = df.schema[id_col].dataType.simpleString()
         agg = df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         ).mapInPandas(
             per_doc,
-            "doc_id long, gram_n int, n_grams long, n_dup_grams long, "
+            f"doc_id {id_type}, gram_n int, n_grams long, n_dup_grams long, "
             "top_c long",
         )
     elif method == "sql":
@@ -548,12 +549,18 @@ def sliding_window_occurrences(
         import numpy as np
         import pandas as pd
 
-        # memoized token -> (id1, id2): one blake2b-128 per DISTINCT token
+        # memoized token -> (id1, id2): one blake2b-128 per DISTINCT
+        # token.  The memo lives for the task (all its batches) but is
+        # BOUNDED: a partition holding a huge open vocabulary would
+        # otherwise grow the dict without limit inside the Python worker
+        # (the clear costs one re-hash per surviving token, nothing else).
         cache: dict[str, tuple[int, int]] = {}
 
         def tok_ids(tok: str) -> tuple[int, int]:
             v = cache.get(tok)
             if v is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
                 d = hashlib.blake2b(tok.encode(), digest_size=16).digest()
                 v = (
                     int.from_bytes(d[:8], "big"),
@@ -575,7 +582,7 @@ def sliding_window_occurrences(
         swv = np.lib.stride_tricks.sliding_window_view
 
         for pdf in batches:
-            doc_out: list[np.ndarray] = []
+            doc_out: list = []  # python list: any Arrow-compatible id type
             pos_out: list[np.ndarray] = []
             h_out: list[bytes] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -593,25 +600,28 @@ def sliding_window_occurrences(
                 buf = np.empty((m, 16), dtype=np.uint8)
                 buf[:, :8] = h1.astype(">u8").view(np.uint8).reshape(m, 8)
                 buf[:, 8:] = h2.astype(">u8").view(np.uint8).reshape(m, 8)
-                doc_out.append(np.full(m, doc_id, dtype=np.int64))
+                doc_out.extend([doc_id] * m)
                 pos_out.append(np.arange(m, dtype=np.int32))
                 raw = buf.tobytes()
                 h_out.extend(raw[i << 4 : (i + 1) << 4] for i in range(m))
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(doc_out)
-                    if doc_out
-                    else np.array([], dtype=np.int64),
-                    "pos": np.concatenate(pos_out)
-                    if pos_out
-                    else np.array([], dtype=np.int32),
+                    "doc_id": pd.Series(doc_out),
+                    "pos": pd.Series(
+                        np.concatenate(pos_out)
+                        if pos_out
+                        else np.array([], dtype=np.int32)
+                    ),
                     "h": h_out,
                 }
             )
 
+    # the id column keeps its incoming Spark type (sql-path parity: any
+    # joinable id works, not just bigint)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInPandas(scan, "doc_id long, pos int, h binary")
+    ).mapInPandas(scan, f"doc_id {id_type}, pos int, h binary")
 
 
 def duplicate_span_hits(
@@ -630,8 +640,13 @@ def duplicate_span_hits(
     occurs in ≥2 distinct documents.  ``"occurrences"``: ≥2 occurrences
     anywhere, intra-document repeats included.  ``keep_first=True``
     exempts the globally-first occurrence per window hash (min (doc_id,
-    pos)) so one copy of every span survives the cut — Lee et al. remove
-    the span from all but one document.
+    pos)) — Lee et al. remove the span from all but one document.  The
+    guarantee is positional, per WINDOW: when duplicated windows overlap,
+    a keeper window's tokens can still be cut by a DIFFERENT duplicated
+    window's hit on the same positions, so a span at the intersection of
+    several duplicate families may survive intact nowhere (same property
+    as the reference ExactSubstr implementation, which cuts the union of
+    duplicated ranges).
 
     Shuffle shape: ONE hash aggregation over (h) computes dup-ness AND
     the keeper (min (doc_id, pos)) together with map-side combine, then a
@@ -710,7 +725,9 @@ def remove_duplicate_spans(
     """ExactSubstr dedup as a corpus transformation: cut every duplicated
     ≥``window_tokens``-token span (any offset — sliding windows, unlike
     the fixed C4 chunk boundaries of :func:`drop_duplicate_segments`),
-    keeping one global copy when ``keep_first``.
+    exempting the globally-first occurrence of each window when
+    ``keep_first`` (positional, per window — see
+    :func:`duplicate_span_hits` for the overlap caveat).
 
     Adds ``spans`` (merged token-offset ranges removed, for audit),
     ``clean_text`` (tokens outside every span, space-joined), and

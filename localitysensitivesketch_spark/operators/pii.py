@@ -54,7 +54,12 @@ IPV4_TOKEN = "<IP>"
 def _n_matches(col: Column, pat: str) -> Column:
     # size(regexp_extract_all(...)) rather than regexp_count: the DuckDB
     # oracle expresses the identical plan as len(regexp_extract_all(...)).
-    return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+    # coalesce: NULL text means zero matches (not a NULL count that would
+    # make has_pii three-valued and silently drop rows in ~has_pii
+    # filters); the oracle coalesces identically.
+    return F.coalesce(
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)), F.lit(0)
+    ).cast("long")
 
 
 def pii_counts(text: Column) -> dict[str, Column]:

@@ -105,12 +105,20 @@ def mark_blocked_hosts(
       hash-join against the blocklist, then a left join back on id.  At
       10^12 docs both sides of that join stay narrow.
     """
-    host = F.col(host_col)
-    sufs = host_suffixes(host)
+    # lowercase the HOST side too: blocklist entries are lowered, and
+    # nothing guarantees host_col came from normalize_urls — without this
+    # a raw 'Example.COM' silently never matches
+    sufs = host_suffixes(F.lower(F.col(host_col)))
     if isinstance(blocked, list):
         arr = F.array(*[F.lit(b.lower()) for b in blocked])
+        # coalesce: a NULL host yields exists(...)=NULL; both scale paths
+        # must agree that an unresolvable host is NOT blocked
         return df.withColumn(
-            "blocked", F.exists(sufs, lambda s: F.array_contains(arr, s))
+            "blocked",
+            F.coalesce(
+                F.exists(sufs, lambda s: F.array_contains(arr, s)),
+                F.lit(False),
+            ),
         )
     hits = (
         df.select(F.col(id_col), F.explode(sufs).alias("suffix"))

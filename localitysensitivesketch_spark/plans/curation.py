@@ -35,6 +35,8 @@ salted/capped band joins and doc-parallel verify.
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +48,18 @@ from ..operators.dedup import containment_pairs, exact_dedup, latest_capture
 from ..operators.signatures import with_doc_id
 from ..operators.urls import normalize_urls
 from .pipeline import DedupPipeline
+
+
+def _qualify(name: str, params: dict | None) -> str:
+    """Stage key qualified by a short deterministic hash of the run
+    parameters it depends on (no hash for parameter-free stages, keeping
+    their keys — and existing checkpoints — stable)."""
+    if not params:
+        return name
+    sig = hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()[:8]
+    return f"{name}@{sig}"
 
 
 @dataclass
@@ -81,10 +95,17 @@ class CurationPipeline:
         self.dedup = DedupPipeline(spark, checkpoint_root, self.cfg)
         self.store = self.dedup.store
 
-    def _stage(self, name, compute, resume, ran, reused):
+    def _stage(self, name, compute, resume, ran, reused, params=None):
         # one stage-commit protocol for the whole funnel (the near-dup
-        # tier's runner owns it)
-        return self.dedup._stage(name, compute, resume, ran, reused)
+        # tier's runner owns it).  ``params`` are the RUN-call arguments
+        # the stage's output depends on: they are hashed into the stage
+        # key so resume=True can never hand back a table computed under
+        # different parameters (the store's config_sha covers only the
+        # shared SketchConfig, not per-run knobs like the containment
+        # threshold or the span window).
+        return self.dedup._stage(
+            _qualify(name, params), compute, resume, ran, reused
+        )
 
     def run(
         self,
@@ -120,11 +141,15 @@ class CurationPipeline:
                 url_col=url_col,
             )
 
-        captures = self._stage("captures", _captures, resume, ran, reused)
+        captures = self._stage(
+            "captures", _captures, resume, ran, reused,
+            params={"url_col": url_col, "ts_col": ts_col,
+                    "canonicalize": canonicalize},
+        )
         exact_kept = self._stage(
             "exact_kept",
             lambda: exact_dedup(captures, text_col=text_col),
-            resume, ran, reused,
+            resume, ran, reused, params={"text_col": text_col},
         )
         quality = self._stage(
             "quality",
@@ -132,6 +157,7 @@ class CurationPipeline:
                 exact_kept, text_col=text_col, **self.gopher_kwargs
             ),
             resume, ran, reused,
+            params={"text_col": text_col, "gopher": self.gopher_kwargs},
         )
         passed = exact_kept.join(
             quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
@@ -148,7 +174,7 @@ class CurationPipeline:
                 "doc_id",
                 "left_semi",
             ),
-            resume, ran, reused,
+            resume, ran, reused, params={"text_col": text_col},
         )
         tiers = [
             ("latest_capture", captures),
@@ -175,7 +201,7 @@ class CurationPipeline:
                     ).alias("n_toks"),
                 )
                 pairs = containment_pairs(
-                    survivors, threshold=t, text_col=text_col
+                    survivors, threshold=t, text_col=text_col, cfg=self.cfg
                 )
                 na = sizes.select(
                     F.col("doc_id").alias("id_contained"),
@@ -201,7 +227,8 @@ class CurationPipeline:
                 return survivors.join(dropped, "doc_id", "left_anti")
 
             survivors = self._stage(
-                "containment_kept", _containment_kept, resume, ran, reused
+                "containment_kept", _containment_kept, resume, ran, reused,
+                params={"text_col": text_col, "threshold": t},
             )
             tiers.append(("containment", survivors))
         if exactsubstr_window is not None:
@@ -229,13 +256,22 @@ class CurationPipeline:
                 return cleaned
 
             survivors = self._stage(
-                "span_cleaned", _span_cleaned, resume, ran, reused
+                "span_cleaned", _span_cleaned, resume, ran, reused,
+                params={"text_col": text_col, "window": w,
+                        "min_remaining": min_rem},
             )
             tiers.append(("exactsubstr", survivors))
         funnel = self._stage(
             "funnel",
             lambda: self._funnel(raw, tiers),
             resume, ran, reused,
+            params={
+                "url_col": url_col, "ts_col": ts_col, "text_col": text_col,
+                "canonicalize": canonicalize, "gopher": self.gopher_kwargs,
+                "containment_threshold": containment_threshold,
+                "exactsubstr_window": exactsubstr_window,
+                "exactsubstr_min_remaining": exactsubstr_min_remaining,
+            },
         )
         return CurationResult(
             captures=captures,

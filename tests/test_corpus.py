@@ -199,3 +199,29 @@ def test_repetition_and_decontamination_method_parity(spark):
         )
         assert a == s
         assert a  # non-vacuous: shared grams exist at these n
+
+
+def test_arrow_paths_support_string_ids(spark):
+    """The sql paths never constrained the id type; the arrow defaults
+    must not either (review finding: doc_id was hard-coded int64)."""
+    from localitysensitivesketch_spark.operators.corpus import (
+        duplicate_span_hits,
+        remove_duplicate_spans,
+        repetition_stats,
+    )
+
+    docs = [
+        ("u/a", "a b a b a b c d e f"),
+        ("u/b", "p q a b a b a b zz"),
+        ("u/c", "all different words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    a = sorted(map(tuple, repetition_stats(df, ns=(2,)).collect()))
+    s = sorted(map(tuple, repetition_stats(df, ns=(2,), method="sql").collect()))
+    assert a == s and a
+    ha = sorted(map(tuple, duplicate_span_hits(df, 3).collect()))
+    hs = sorted(map(tuple, duplicate_span_hits(df, 3, method="sql").collect()))
+    assert ha == hs and ha
+    out = {r["doc_id"]: r["tokens_removed"]
+           for r in remove_duplicate_spans(df, 3).collect()}
+    assert set(out) == {"u/a", "u/b", "u/c"} and sum(out.values()) > 0

@@ -14,6 +14,11 @@ from localitysensitivesketch_spark.plans.curation import CurationPipeline
 GOPHER = dict(min_tokens=5, min_stopword_ratio=0.0)  # fixture corpus is gibberish
 
 
+def _has(stages, name):
+    """Stage keys are qualified with a run-params hash (name@sha8)."""
+    return any(s == name or s.startswith(name + "@") for s in stages)
+
+
 def _raw(spark):
     corpus = generate_corpus(n_docs=150, seed=13, dup_fraction=0.3)
     df = corpus_to_spark(spark, corpus)
@@ -79,8 +84,8 @@ def test_curation_resume_reuses_every_stage(spark, tmp_path):
 
     again = CurationPipeline(spark, root, gopher_kwargs=GOPHER).run(raw)
     assert not again.stages_run, again.stages_run
-    assert set(again.stages_resumed) >= {"captures", "exact_kept", "quality",
-                                         "survivors", "funnel"}
+    for st in ("captures", "exact_kept", "quality", "survivors", "funnel"):
+        assert _has(again.stages_resumed, st), (st, again.stages_resumed)
     a = sorted(map(tuple, first.survivors.select("url", "text").collect()))
     b = sorted(map(tuple, again.survivors.select("url", "text").collect()))
     assert a == b
@@ -133,11 +138,11 @@ def test_curation_containment_tier(spark, tmp_path):
     assert kept == {"http://a.com/big", "http://a.com/other"}
     stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in res.funnel.collect()}
     assert stages["containment"] == (3, 2)
-    assert "containment_kept" in res.stages_run
+    assert _has(res.stages_run, "containment_kept")
 
     # resume: a second run reuses every stage, identical survivors
     res2 = pipe.run(raw, containment_threshold=1.0)
-    assert "containment_kept" in res2.stages_resumed
+    assert _has(res2.stages_resumed, "containment_kept")
     assert {r["url"] for r in res2.survivors.select("url").collect()} == kept
 
     # mutual containment (identical token SETS, different order/dups,
@@ -220,11 +225,11 @@ def test_curation_exactsubstr_tier(spark, tmp_path):
     assert out["http://x.com/c"]["tokens_removed"] == 0
     stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in res.funnel.collect()}
     assert stages["exactsubstr"] == (3, 3)  # min_remaining=0 keeps all
-    assert "span_cleaned" in res.stages_run
+    assert _has(res.stages_run, "span_cleaned")
 
     # resume reuses the tier, identical output
     res2 = pipe.run(raw, exactsubstr_window=5)
-    assert "span_cleaned" in res2.stages_resumed
+    assert _has(res2.stages_resumed, "span_cleaned")
     out2 = {r["url"]: r["tokens_removed"] for r in res2.survivors.collect()}
     assert out2 == {u: r["tokens_removed"] for u, r in out.items()}
 
@@ -238,3 +243,32 @@ def test_curation_exactsubstr_tier(spark, tmp_path):
     stages3 = {r["stage"]: (r["n_in"], r["n_out"]) for r in res3.funnel.collect()}
     assert stages3["exactsubstr"] == (3, 2)
     assert loser not in {r["url"] for r in res3.survivors.select("url").collect()}
+
+
+def test_resume_never_reuses_stages_across_different_run_params(spark, tmp_path):
+    """The round-3 review finding: stage keys are qualified by run
+    params, so resume=True with a different window/threshold recomputes
+    instead of silently returning the other configuration's table."""
+    from datetime import datetime as _dt
+
+    base = _dt(2024, 1, 1)
+    run = " ".join(f"runword{i}" for i in range(10))
+    rows = [
+        ("http://p.com/a", base, b"a", f"{' '.join(f'alphapad{i}' for i in range(5))} {run}", "en"),
+        ("http://p.com/b", base, b"b", f"{run} {' '.join(f'bravopad{i}' for i in range(5))}", "en"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pipe = CurationPipeline(spark, str(tmp_path / "cur_q"), gopher_kwargs=GOPHER)
+    r1 = pipe.run(raw, exactsubstr_window=5)
+    assert _has(r1.stages_run, "span_cleaned")
+    # same params -> reused; different window -> recomputed, not reused
+    r2 = pipe.run(raw, exactsubstr_window=5)
+    assert _has(r2.stages_resumed, "span_cleaned")
+    r3 = pipe.run(raw, exactsubstr_window=11)  # > run length: no cut
+    assert _has(r3.stages_run, "span_cleaned")
+    assert not _has(r3.stages_resumed, "span_cleaned")
+    assert {r["tokens_removed"] for r in r3.survivors.collect()} == {0}
+    removed1 = {r["tokens_removed"] for r in r1.survivors.collect()}
+    assert removed1 == {0, 10}  # w=5 run really was cut in that config

@@ -159,3 +159,46 @@ def test_mark_blocked_hosts_df_path_is_broadcast(spark):
     blocked = spark.createDataFrame([(b,) for b in BLOCKED], "blocked_host string")
     plan = mark_blocked_hosts(df, blocked)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_paths_agree_on_null_and_case(spark):
+    """Review findings: the list path must not silently drop NULL-host
+    rows (3-valued exists), and neither path may miss a match because the
+    HOST side is not lowercased."""
+    from pyspark.sql import functions as F
+
+    from localitysensitivesketch_spark.operators.urls import (
+        filter_blocked_hosts,
+        mark_blocked_hosts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Spam.example.COM"), (2, "ok.org"), (3, None), (4, "sub.SPAM.example.com")],
+        "doc_id long, host string",
+    )
+    bl_list = ["spam.example.com"]
+    bl_df = spark.range(1).select(F.lit("spam.example.com").alias("blocked_host"))
+    a = {r["doc_id"]: r["blocked"] for r in mark_blocked_hosts(df, bl_list).collect()}
+    b = {r["doc_id"]: r["blocked"] for r in mark_blocked_hosts(df, bl_df).collect()}
+    assert a == b == {1: True, 2: False, 3: False, 4: True}
+    for bl in (bl_list, bl_df):
+        kept = {r["doc_id"] for r in filter_blocked_hosts(df, bl).collect()}
+        assert kept == {2, 3}  # NULL host survives in BOTH regimes
+
+
+def test_pii_report_null_text_counts_zero(spark):
+    """Review finding: NULL text must yield zero counts and has_pii
+    False, not NULL (which silently drops rows in ~has_pii filters)."""
+    from localitysensitivesketch_spark.operators.pii import pii_report
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.co"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_report(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["has_pii"] is True
+    for d in (2, 3):
+        assert out[d]["n_emails"] == 0 and out[d]["n_phones"] == 0
+        assert out[d]["n_ipv4"] == 0 and out[d]["has_pii"] is False
+    kept = pii_report(df).filter("not has_pii").count()
+    assert kept == 2  # null-text row is NOT silently dropped
