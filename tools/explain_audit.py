@@ -82,6 +82,22 @@ def main() -> int:
             bad.append(name)
     check("no-row-python-udfs", not bad, ", ".join(bad))
 
+    # 4b. the ExactSubstr span scan prunes its input to (doc_id, text) —
+    # the mapInPandas stage must never drag html/lang through Arrow
+    from localitysensitivesketch_spark.operators.corpus import (
+        duplicate_span_stats,
+    )
+
+    p = plan_of(duplicate_span_stats(docs, 20))
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    pruned = scan and all(
+        "text" in ln and "doc_id" in ln and "html" not in ln and "lang" not in ln
+        for ln in scan
+    )
+    check(
+        "span-scan-pruned", bool(pruned), scan[0].strip() if scan else "no scan"
+    )
+
     # 5. codegen in the JVM analytics path ("[codegen id : N]" markers only
     # appear in the FINAL adaptive plan, so execute first)
     q1 = E.queries()["tpch_q1"](spark, sf_dir)
