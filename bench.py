@@ -104,16 +104,18 @@ def main() -> None:
             "evidence_file": os.path.basename(evidence),
             "see": "BENCH/BASELINE.md",
         }
-        span_ev = os.path.join(bench_dir, "span_scaling_2v8_200k_r3.json")
-        if os.path.exists(span_ev):
-            with open(span_ev) as f:
-                sev = json.load(f)
-            scaling["span_tier"] = {
-                "job": sev["job"],
-                "scaling_efficiency": sev["scaling_efficiency"],
-                "n_docs": sev["n_docs"],
-                "evidence_file": os.path.basename(span_ev),
-            }
+    # span-tier evidence is independent of the pipeline evidence files
+    span_ev = os.path.join(bench_dir, "span_scaling_2v8_200k_r3.json")
+    if os.path.exists(span_ev):
+        with open(span_ev) as f:
+            sev = json.load(f)
+        scaling = scaling or {}
+        scaling["span_tier"] = {
+            "job": sev["job"],
+            "scaling_efficiency": sev["scaling_efficiency"],
+            "n_docs": sev["n_docs"],
+            "evidence_file": os.path.basename(span_ev),
+        }
 
     total = round(sum(timings.values()), 3)
     print(

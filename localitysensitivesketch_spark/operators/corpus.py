@@ -582,7 +582,12 @@ def sliding_window_occurrences(
         swv = np.lib.stride_tricks.sliding_window_view
 
         for pdf in batches:
-            doc_out: list = []  # python list: any Arrow-compatible id type
+            # dtype dispatch: integer ids keep the fully-vectorized
+            # np.full/concatenate path (the dominant bigint case — no
+            # per-window Python boxing); other Arrow-compatible id types
+            # fall back to a python list
+            int_ids = pd.api.types.is_integer_dtype(pdf["doc_id"])
+            doc_out: list = []
             pos_out: list[np.ndarray] = []
             h_out: list[bytes] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -600,13 +605,24 @@ def sliding_window_occurrences(
                 buf = np.empty((m, 16), dtype=np.uint8)
                 buf[:, :8] = h1.astype(">u8").view(np.uint8).reshape(m, 8)
                 buf[:, 8:] = h2.astype(">u8").view(np.uint8).reshape(m, 8)
-                doc_out.extend([doc_id] * m)
+                if int_ids:
+                    doc_out.append(np.full(m, doc_id, dtype=np.int64))
+                else:
+                    doc_out.extend([doc_id] * m)
                 pos_out.append(np.arange(m, dtype=np.int32))
                 raw = buf.tobytes()
                 h_out.extend(raw[i << 4 : (i + 1) << 4] for i in range(m))
+            if int_ids:
+                doc_col = pd.Series(
+                    np.concatenate(doc_out)
+                    if doc_out
+                    else np.array([], dtype=np.int64)
+                )
+            else:
+                doc_col = pd.Series(doc_out, dtype=object)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(doc_out),
+                    "doc_id": doc_col,
                     "pos": pd.Series(
                         np.concatenate(pos_out)
                         if pos_out

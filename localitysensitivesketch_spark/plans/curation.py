@@ -50,16 +50,24 @@ from ..operators.urls import normalize_urls
 from .pipeline import DedupPipeline
 
 
-def _qualify(name: str, params: dict | None) -> str:
-    """Stage key qualified by a short deterministic hash of the run
-    parameters it depends on (no hash for parameter-free stages, keeping
-    their keys — and existing checkpoints — stable)."""
-    if not params:
-        return name
-    sig = hashlib.sha256(
+def _params_sig(params: dict) -> str:
+    return hashlib.sha256(
         json.dumps(params, sort_keys=True, default=str).encode()
     ).hexdigest()[:8]
-    return f"{name}@{sig}"
+
+
+def _qualify(name: str, params: dict | None) -> str:
+    """Stage key qualified by a short deterministic hash of the run
+    parameters the stage depends on.  Keys are chained TRANSITIVELY:
+    each stage's ``params`` includes the qualified key(s) of its input
+    stage(s) under ``"in"``, so a change to ANY upstream knob re-keys
+    every stage downstream of it — resume can never mix tables from
+    differently-parameterized runs, while an unrelated-knob change (e.g.
+    the containment threshold) leaves upstream keys, and their reuse,
+    intact."""
+    if not params:
+        return name
+    return f"{name}@{_params_sig(params)}"
 
 
 @dataclass
@@ -141,32 +149,46 @@ class CurationPipeline:
                 url_col=url_col,
             )
 
-        captures = self._stage(
-            "captures", _captures, resume, ran, reused,
-            params={"url_col": url_col, "ts_col": ts_col,
-                    "canonicalize": canonicalize},
-        )
+        p_cap = {"url_col": url_col, "ts_col": ts_col,
+                 "canonicalize": canonicalize}
+        k_cap = _qualify("captures", p_cap)
+        captures = self._stage(k_cap, _captures, resume, ran, reused)
+        p_exact = {"text_col": text_col, "in": k_cap}
+        k_exact = _qualify("exact_kept", p_exact)
         exact_kept = self._stage(
-            "exact_kept",
+            k_exact,
             lambda: exact_dedup(captures, text_col=text_col),
-            resume, ran, reused, params={"text_col": text_col},
+            resume, ran, reused,
         )
+        p_quality = {"text_col": text_col, "gopher": self.gopher_kwargs,
+                     "in": k_exact}
+        k_quality = _qualify("quality", p_quality)
         quality = self._stage(
-            "quality",
+            k_quality,
             lambda: gopher_filter(
                 exact_kept, text_col=text_col, **self.gopher_kwargs
             ),
             resume, ran, reused,
-            params={"text_col": text_col, "gopher": self.gopher_kwargs},
         )
         passed = exact_kept.join(
             quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
         )
-        near = self.dedup.run(passed, resume=resume, text_col=text_col)
+        # the embedded near-dup spine inherits the upstream lineage hash:
+        # its input is `passed`, a function of the exact and quality keys
+        dedup_sfx = "@" + _params_sig(
+            {"text_col": text_col, "in": [k_exact, k_quality]}
+        )
+        near = self.dedup.run(
+            passed, resume=resume, text_col=text_col, stage_suffix=dedup_sfx
+        )
         ran += near.stages_run
         reused += near.stages_resumed
-        survivors = self._stage(
+        k_surv = _qualify(
             "survivors",
+            {"text_col": text_col, "in": [k_quality, dedup_sfx]},
+        )
+        survivors = self._stage(
+            k_surv,
             lambda: passed.join(
                 near.clusters.filter(
                     F.col("doc_id") == F.col("cluster_id")
@@ -174,7 +196,7 @@ class CurationPipeline:
                 "doc_id",
                 "left_semi",
             ),
-            resume, ran, reused, params={"text_col": text_col},
+            resume, ran, reused,
         )
         tiers = [
             ("latest_capture", captures),
@@ -182,6 +204,7 @@ class CurationPipeline:
             ("quality_gate", passed),
             ("near_dup", survivors),
         ]
+        k_prev = k_surv
         if containment_threshold is not None:
             t = float(containment_threshold)
 
@@ -226,10 +249,14 @@ class CurationPipeline:
                 )
                 return survivors.join(dropped, "doc_id", "left_anti")
 
-            survivors = self._stage(
-                "containment_kept", _containment_kept, resume, ran, reused,
-                params={"text_col": text_col, "threshold": t},
+            k_cont = _qualify(
+                "containment_kept",
+                {"text_col": text_col, "threshold": t, "in": k_surv},
             )
+            survivors = self._stage(
+                k_cont, _containment_kept, resume, ran, reused
+            )
+            k_prev = k_cont
             tiers.append(("containment", survivors))
         if exactsubstr_window is not None:
             w = int(exactsubstr_window)
@@ -255,23 +282,18 @@ class CurationPipeline:
                     )
                 return cleaned
 
-            survivors = self._stage(
-                "span_cleaned", _span_cleaned, resume, ran, reused,
-                params={"text_col": text_col, "window": w,
-                        "min_remaining": min_rem},
+            k_span = _qualify(
+                "span_cleaned",
+                {"text_col": text_col, "window": w,
+                 "min_remaining": min_rem, "in": k_prev},
             )
+            survivors = self._stage(k_span, _span_cleaned, resume, ran, reused)
+            k_prev = k_span
             tiers.append(("exactsubstr", survivors))
         funnel = self._stage(
-            "funnel",
+            _qualify("funnel", {"in": [k_cap, k_exact, k_quality, k_prev]}),
             lambda: self._funnel(raw, tiers),
             resume, ran, reused,
-            params={
-                "url_col": url_col, "ts_col": ts_col, "text_col": text_col,
-                "canonicalize": canonicalize, "gopher": self.gopher_kwargs,
-                "containment_threshold": containment_threshold,
-                "exactsubstr_window": exactsubstr_window,
-                "exactsubstr_min_remaining": exactsubstr_min_remaining,
-            },
         )
         return CurationResult(
             captures=captures,

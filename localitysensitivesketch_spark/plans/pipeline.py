@@ -363,14 +363,25 @@ class DedupPipeline:
         id_col: str = "doc_id",
         text_col: str = "text",
         signature_slices: int | None = None,
+        stage_suffix: str = "",
     ) -> PipelineResult:
         """``signature_slices``: commit the (most expensive) signature stage
         in that many independent slice jobs via
         :meth:`CheckpointStore.resume_partitioned`, so an interruption
-        resumes mid-stage instead of recomputing all signatures."""
+        resumes mid-stage instead of recomputing all signatures.
+
+        ``stage_suffix``: appended to every stage key.  Callers that feed
+        this pipeline a PARAMETER-DEPENDENT input (the curation funnel's
+        quality-gated document set) pass a hash of that upstream lineage
+        here, so resume=True can never reuse signatures/clusters computed
+        from a differently-parameterized input — the store's config_sha
+        covers only SketchConfig."""
         cfg = self.cfg
         ran: list[str] = []
         reused: list[str] = []
+
+        def nm(stage: str) -> str:
+            return stage + stage_suffix
 
         if signature_slices:
             # cast to long BEFORE hashing — xxhash64 is type-sensitive, and
@@ -379,12 +390,12 @@ class DedupPipeline:
                 F.xxhash64(F.col(id_col).cast("long")), F.lit(self.N_PART_KEYS)
             ).cast("int")
             docs_keyed = documents.withColumn("part_key", pk)
-            if resume and self.store.is_committed("signatures"):
-                reused.append("signatures")
-                sigs = self.store.read("signatures")
+            if resume and self.store.is_committed(nm("signatures")):
+                reused.append(nm("signatures"))
+                sigs = self.store.read(nm("signatures"))
             else:
                 sigs = self.store.resume_partitioned(
-                    "signatures",
+                    nm("signatures"),
                     docs_keyed,
                     lambda sub: compute_signatures(
                         sub.drop("part_key"), cfg, id_col=id_col, text_col=text_col
@@ -397,11 +408,11 @@ class DedupPipeline:
                     n_slices=signature_slices,
                     resume=resume,
                 )
-                ran.append("signatures")
+                ran.append(nm("signatures"))
             sigs = sigs.drop("part_key")
         else:
             sigs = self._stage(
-                "signatures",
+                nm("signatures"),
                 lambda: compute_signatures(
                     documents, cfg, id_col=id_col, text_col=text_col
                 ),
@@ -415,16 +426,16 @@ class DedupPipeline:
             cand_pair["metrics"] = metrics
             return pairs
 
-        cands = self._stage("candidates", _cands, resume, ran, reused)
+        cands = self._stage(nm("candidates"), _cands, resume, ran, reused)
         metrics = self._stage(
-            "skew_metrics",
+            nm("skew_metrics"),
             lambda: cand_pair.get(
                 "metrics", band_candidates(sigs, cfg)[1]
             ),
             resume, ran, reused,
         )
         verified = self._stage(
-            "verified",
+            nm("verified"),
             lambda: verify_pairs(
                 cands, documents, cfg, id_col=id_col, text_col=text_col,
                 signatures=sigs, min_jaccard=cfg.jaccard_threshold,
@@ -432,17 +443,17 @@ class DedupPipeline:
             resume, ran, reused,
         )
         edges = self._stage(
-            "edges", lambda: duplicate_edges(verified, cfg), resume, ran, reused
+            nm("edges"), lambda: duplicate_edges(verified, cfg), resume, ran, reused
         )
         clusters = self._stage(
-            "clusters",
+            nm("clusters"),
             lambda: connected_components(
                 documents.select(F.col(id_col).cast("long").alias("doc_id")), edges
             ),
             resume, ran, reused,
         )
         stats = self._stage(
-            "cluster_stats",
+            nm("cluster_stats"),
             lambda: clusters.groupBy("cluster_id").agg(
                 F.count("*").alias("size"),
                 F.min("doc_id").alias("canonical_doc_id"),

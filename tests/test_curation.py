@@ -272,3 +272,30 @@ def test_resume_never_reuses_stages_across_different_run_params(spark, tmp_path)
     assert {r["tokens_removed"] for r in r3.survivors.collect()} == {0}
     removed1 = {r["tokens_removed"] for r in r1.survivors.collect()}
     assert removed1 == {0, 10}  # w=5 run really was cut in that config
+
+
+def test_resume_rekeys_downstream_when_upstream_params_change(spark, tmp_path):
+    """Second review pass: keys chain transitively — flipping an UPSTREAM
+    knob (canonicalize) must recompute every downstream stage including
+    the embedded dedup spine, not reuse tables keyed under the old
+    lineage; flipping a DOWNSTREAM knob must leave upstream reuse intact."""
+    raw, _ = _raw(spark)
+    root = str(tmp_path / "cur_chain")
+    pipe = CurationPipeline(spark, root, gopher_kwargs=GOPHER)
+    r1 = pipe.run(raw)
+    assert any(s.startswith("signatures") for s in r1.stages_run)
+
+    # upstream flip: canonicalize changes captures -> everything re-runs
+    r2 = pipe.run(raw, canonicalize=True)
+    for st in ("captures", "exact_kept", "quality", "signatures", "clusters",
+               "survivors", "funnel"):
+        assert any(s.startswith(st) for s in r2.stages_run), (st, r2.stages_run)
+        assert not any(s.startswith(st) for s in r2.stages_resumed), st
+
+    # downstream-only addition: span tier on the original lineage reuses
+    # every upstream stage and computes only the new tier + funnel
+    r3 = pipe.run(raw, exactsubstr_window=5)
+    for st in ("captures", "exact_kept", "quality", "signatures", "survivors"):
+        assert any(s.startswith(st) for s in r3.stages_resumed), st
+    assert any(s.startswith("span_cleaned") for s in r3.stages_run)
+    assert any(s.startswith("funnel") for s in r3.stages_run)
