@@ -80,6 +80,10 @@ class CurationResult:
     funnel: DataFrame
     stages_run: list[str] = field(default_factory=list)
     stages_resumed: list[str] = field(default_factory=list)
+    # pass to plans.incremental.incremental_update so a later MERGE finds
+    # the dedup spine tables this run committed (they carry the upstream
+    # lineage hash as a stage-key suffix)
+    dedup_stage_suffix: str = ""
 
 
 class CurationPipeline:
@@ -103,17 +107,15 @@ class CurationPipeline:
         self.dedup = DedupPipeline(spark, checkpoint_root, self.cfg)
         self.store = self.dedup.store
 
-    def _stage(self, name, compute, resume, ran, reused, params=None):
+    def _stage(self, key, compute, resume, ran, reused):
         # one stage-commit protocol for the whole funnel (the near-dup
-        # tier's runner owns it).  ``params`` are the RUN-call arguments
-        # the stage's output depends on: they are hashed into the stage
-        # key so resume=True can never hand back a table computed under
-        # different parameters (the store's config_sha covers only the
-        # shared SketchConfig, not per-run knobs like the containment
-        # threshold or the span window).
-        return self.dedup._stage(
-            _qualify(name, params), compute, resume, ran, reused
-        )
+        # tier's runner owns it).  ``key`` is a pre-qualified stage key
+        # from :func:`_qualify` — run() chains each stage's key from its
+        # input stage's key plus its own knobs, so resume=True can never
+        # hand back a table computed under different parameters (the
+        # store's config_sha covers only the shared SketchConfig, not
+        # per-run knobs like the containment threshold or span window).
+        return self.dedup._stage(key, compute, resume, ran, reused)
 
     def run(
         self,
@@ -304,6 +306,7 @@ class CurationPipeline:
             funnel=funnel,
             stages_run=ran,
             stages_resumed=reused,
+            dedup_stage_suffix=dedup_sfx,
         )
 
     def _funnel(self, raw, tiers):

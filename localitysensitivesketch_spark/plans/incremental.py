@@ -47,6 +47,7 @@ def incremental_update(
     cfg: SketchConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_suffix: str = "",
 ) -> dict[str, DataFrame]:
     """Merge ``new_documents`` into an existing pipeline checkpoint.
 
@@ -54,11 +55,20 @@ def incremental_update(
     verify old-vs-new candidate pairs).  Returns the updated stage tables;
     every updated stage is re-committed through the store's protocol so a
     later resume sees the merged state.
+
+    ``stage_suffix`` must match the suffix the stages were committed
+    under — bare names for a direct :class:`DedupPipeline` run (default),
+    or the lineage hash a :class:`~.curation.CurationPipeline` run used
+    (``CurationResult.dedup_stage_suffix``); mixing them would either
+    fail to find the tables or, worse, merge into a stale lineage.
     """
     cfg = cfg or store.cfg
     t0 = time.time()
 
-    old_sigs = store.read("signatures")
+    def nm(stage: str) -> str:
+        return stage + stage_suffix
+
+    old_sigs = store.read(nm("signatures"))
     new_sigs = compute_signatures(
         new_documents, cfg, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
@@ -107,9 +117,9 @@ def incremental_update(
     )
     # merge the verified table too — a later resume must never pair a stale
     # 'verified' commit with the merged candidates/edges written below
-    merged_verified = store.read("verified").unionByName(verified).distinct()
+    merged_verified = store.read(nm("verified")).unionByName(verified).distinct()
     new_edges = duplicate_edges(verified, cfg)
-    merged_edges = store.read("edges").unionByName(new_edges).distinct()
+    merged_edges = store.read(nm("edges")).unionByName(new_edges).distinct()
 
     merged_sigs = old_sigs.unionByName(new_sigs)
     # incremental CC: contract the committed clusters, CC only the
@@ -118,7 +128,7 @@ def incremental_update(
     # test_merge_components_equals_full_recompute), but the only
     # corpus-sized work is a map-side pass over the label table
     clusters = merge_components(
-        store.read("clusters"),
+        store.read(nm("clusters")),
         new_edges.select("id1", "id2"),
         new_vertices=new_documents.select(
             F.col(id_col).cast("long").alias("doc_id")
@@ -127,7 +137,7 @@ def incremental_update(
     stats = clusters.groupBy("cluster_id").agg(
         F.count("*").alias("size"), F.min("doc_id").alias("canonical_doc_id")
     )
-    merged_cands = store.read("candidates").unionByName(candidates).distinct()
+    merged_cands = store.read(nm("candidates")).unionByName(candidates).distinct()
 
     # materialize every frame whose plan reads a stage about to be
     # rewritten — commits below swap the underlying files (on Iceberg the
@@ -141,12 +151,12 @@ def incremental_update(
 
     wall = time.time() - t0
     out = {}
-    out["signatures"] = store.write("signatures", merged_sigs, wall)
-    out["candidates"] = store.write("candidates", merged_cands, wall)
-    out["verified"] = store.write("verified", merged_verified, wall)
-    out["edges"] = store.write("edges", merged_edges, wall)
-    out["clusters"] = store.write("clusters", clusters, wall)
-    out["cluster_stats"] = store.write("cluster_stats", stats, wall)
+    out["signatures"] = store.write(nm("signatures"), merged_sigs, wall)
+    out["candidates"] = store.write(nm("candidates"), merged_cands, wall)
+    out["verified"] = store.write(nm("verified"), merged_verified, wall)
+    out["edges"] = store.write(nm("edges"), merged_edges, wall)
+    out["clusters"] = store.write(nm("clusters"), clusters, wall)
+    out["cluster_stats"] = store.write(nm("cluster_stats"), stats, wall)
     # the per-run skew metrics describe only the batch that produced them —
     # invalidate so a resume recomputes instead of reusing a stale table
     store.invalidate("skew_metrics")

@@ -299,3 +299,42 @@ def test_resume_rekeys_downstream_when_upstream_params_change(spark, tmp_path):
         assert any(s.startswith(st) for s in r3.stages_resumed), st
     assert any(s.startswith("span_cleaned") for s in r3.stages_run)
     assert any(s.startswith("funnel") for s in r3.stages_run)
+
+
+def test_incremental_update_on_curation_root_via_stage_suffix(spark, tmp_path):
+    """Third review pass: the curation spine commits suffixed stage keys,
+    so a later MERGE must address them through
+    CurationResult.dedup_stage_suffix — and the merged state lands back
+    under the SAME suffixed keys, where the next curation resume reads."""
+    from localitysensitivesketch_spark.plans.incremental import (
+        incremental_update,
+    )
+
+    raw, corpus = _raw(spark)
+    pipe = CurationPipeline(spark, str(tmp_path / "cur_inc"), gopher_kwargs=GOPHER)
+    res = pipe.run(raw)
+    sfx = res.dedup_stage_suffix
+    assert sfx.startswith("@") and len(sfx) == 9
+
+    # merge a brand-new doc into the committed spine under the suffix
+    from datetime import datetime as _dt
+
+    new_docs = spark.createDataFrame(
+        [("http://new.example/p", _dt(2031, 1, 1), b"<n>",
+          "completely new page content words alpha beta gamma delta", "en")],
+        raw.schema,
+    )
+    from localitysensitivesketch_spark.operators.signatures import with_doc_id
+
+    new_ided = with_doc_id(new_docs)
+    all_docs = res.captures.select(*new_ided.columns).unionByName(new_ided)
+    n_before = pipe.store.read("signatures" + sfx).count()
+    out = incremental_update(
+        pipe.store, all_docs, new_ided, pipe.cfg, stage_suffix=sfx
+    )
+    assert out["signatures"].count() == n_before + 1
+    # the merged tables are committed under the suffixed keys
+    assert pipe.store.read("signatures" + sfx).count() == n_before + 1
+    new_id = new_ided.collect()[0]["doc_id"]
+    labels = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    assert labels[new_id] == new_id  # unique page -> its own cluster
