@@ -197,3 +197,41 @@ def test_arrow_sql_identity_random_corpora(spark):
         }
         assert ra == rs
         assert sum(ra.values()) > 0  # non-vacuous
+
+
+def test_merged_spans_fold_matches_python_interval_merge(spark):
+    """Property test for the codegen _merged_spans fold: 300 random
+    sorted hit-position sets (one Spark job), each merged result must
+    equal a plain-python interval merge — disjoint, sorted, covering
+    exactly the union of hit windows."""
+    import random
+
+    from localitysensitivesketch_spark.operators.corpus import _merged_spans
+
+    rng = random.Random(99)
+    w = 4
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 30)
+        ps = sorted(set(rng.randint(0, 60) for _ in range(n)))
+        rows.append((i, ps))
+    df = spark.createDataFrame(rows, "id long, ps array<int>")
+    got = {
+        r["id"]: [(s["start"], s["end"]) for s in r["m"]]
+        for r in df.select("id", _merged_spans(F.col("ps"), w).alias("m")).collect()
+    }
+
+    def merge(ps):
+        out = []
+        for p in ps:
+            if out and p <= out[-1][1]:
+                out[-1] = (out[-1][0], p + w)
+            else:
+                out.append((p, p + w))
+        return out
+
+    for i, ps in rows:
+        assert got[i] == merge(ps), (i, ps, got[i])
+        # invariants: sorted, disjoint, exact coverage
+        cover = {x for a, e in got[i] for x in range(a, e)}
+        assert cover == {x for p in ps for x in range(p, p + w)}
