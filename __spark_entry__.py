@@ -728,6 +728,32 @@ def _q_duplicate_span_stats(spark, sf_dir):
     )
 
 
+def _q_surt_keys(spark, sf_dir):
+    """SURT index keys (Common Crawl CDX form) over urls synthesized
+    deterministically from the documents table — exercises multi-label
+    host reversal, kept non-default ports, dropped default ports, the
+    root-path ')/' case, and query sorting."""
+    from localitysensitivesketch_spark.operators.urls import with_surt_key
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://W"), (d % 3).cast("string"),
+            F.lit(".Sub.Example-"), F.col("source"), F.lit(".COM"),
+            F.when(d % 4 == 1, F.lit(":8080"))
+            .when(d % 4 == 2, F.lit(":80"))
+            .otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Pg/"), d.cast("string"))
+            ),
+            F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return with_surt_key(docs).select("doc_id", "url", "surt_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -791,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_score": _q_quality_model_score,
         "host_blocklist": _q_host_blocklist,
         "duplicate_span_stats": _q_duplicate_span_stats,
+        "surt_keys": _q_surt_keys,
     }
 
 
@@ -1717,6 +1744,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canonical_url,
                    lower(regexp_extract(canonical_url, '://([^/:?#]*)', 1))
                      AS host
+            FROM s4
+        """,
+        "surt_keys": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                'HTTP://W' || CAST(doc_id % 3 AS VARCHAR)
+                || '.Sub.Example-' || source || '.COM'
+                || CASE WHEN doc_id % 4 = 1 THEN ':8080'
+                        WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ''
+                        ELSE '/Pg/' || CAST(doc_id AS VARCHAR) END
+                || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '' END
+                || '#frag' AS url
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+              FROM synth
+            ), s2 AS (
+              SELECT doc_id, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(u,
+                    '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$', 1)),
+                  '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1') AS sh,
+                regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)(.*)$', 2) AS rest
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, url, sh,
+                regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                               '/+$', '') AS path,
+                CASE WHEN regexp_extract(rest, '\?(.*)$', 1) <> ''
+                     THEN array_to_string(list_sort(string_split(
+                            regexp_extract(rest, '\?(.*)$', 1), '&')), '&')
+                     ELSE '' END AS sq,
+                regexp_extract(sh, '://([^/?#]*)', 1) AS hostport
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, url, path, sq,
+                regexp_extract(hostport, '^([^:]*)', 1) AS host,
+                regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+              FROM s3
+            )
+            SELECT doc_id, url,
+              CASE WHEN host = '' THEN url
+                   ELSE array_to_string(list_transform(
+                          range(len(string_split(host, '.')), 0, -1),
+                          i -> string_split(host, '.')[i]), ',')
+                        || CASE WHEN port <> '' THEN ':' || port ELSE '' END
+                        || ')'
+                        || CASE WHEN path = '' THEN '/' ELSE path END
+                        || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END
+              END AS surt_key
             FROM s4
         """,
         "bpe_token_stats": """

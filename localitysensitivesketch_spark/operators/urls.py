@@ -66,6 +66,61 @@ def normalize_urls(
     )
 
 
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key (the Common Crawl CDX
+    index form): host labels reversed and comma-joined, optional
+    non-default port kept, then ``)`` and the canonical path+query —
+    ``https://www.Example.com/a/b?b=2&a=1`` →
+    ``com,example,www)/a/b?a=1&b=2``.
+
+    Why a 100 TB webtext engine wants it: SURT keys make the host
+    hierarchy a string PREFIX hierarchy, so a table sorted/range-
+    partitioned by ``surt_key`` answers "everything under
+    ``*.example.com``" with partition pruning + a range scan
+    (``surt_key >= 'com,example' AND surt_key < 'com,example,'`` …),
+    where raw urls scatter subdomains across the keyspace.  Derived from
+    :func:`canonical_url` (lowered host, dropped default port/fragment,
+    sorted query), all inside whole-stage codegen; urls with no
+    ``scheme://host`` pass through unchanged, exactly like
+    :func:`canonical_url`.
+
+    Design choices, documented: ``www`` and other subdomain labels are
+    KEPT (classic SURT variants differ here) — dropping them belongs to
+    a blocklist/aggregation policy, not an index key; and IPv4-literal
+    hosts are reversed by octet like any labels (``10.0.0.1`` →
+    ``1,0,0,10``) rather than special-cased — the key only needs to be
+    deterministic and self-consistent to sort, and octet reversal keeps
+    one uniform rule.
+    """
+    c = canonical_url(url)
+    hostport = F.regexp_extract(c, r"://([^/?#]*)", 1)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_extract(c, _SPLIT_PAT, 2)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    key = F.concat(
+        rev,
+        F.when(port != F.lit(""), F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
+        F.lit(")"),
+        F.when(path != F.lit(""), path).otherwise(F.lit("/")),
+        F.when(query != F.lit(""), F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(host == F.lit(""), url).otherwise(key)
+
+
+def with_surt_key(
+    df: DataFrame, url_col: str = "url", out_col: str = "surt_key"
+) -> DataFrame:
+    """Adds the ``surt_key`` derived column (raw url kept)."""
+    return df.withColumn(out_col, surt_key(F.col(url_col)))
+
+
 def host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a host with ≥2 labels, shortest→longest
     (``a.b.com`` → ``[b.com, a.b.com]``).  Label-boundary suffixes are the

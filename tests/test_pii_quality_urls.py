@@ -202,3 +202,39 @@ def test_pii_report_null_text_counts_zero(spark):
         assert out[d]["n_ipv4"] == 0 and out[d]["has_pii"] is False
     kept = pii_report(df).filter("not has_pii").count()
     assert kept == 2  # null-text row is NOT silently dropped
+
+
+def test_surt_key_known_examples_and_prefix_property(spark):
+    """SURT keys (Common Crawl CDX form): known transforms, default-port
+    drop, kept non-default port, opaque passthrough — and the property
+    that motivates the key: every url under a registrable domain shares
+    the domain's SURT string prefix, so a sorted table answers
+    subtree queries with a range scan."""
+    from pyspark.sql import functions as F
+
+    from localitysensitivesketch_spark.operators.urls import with_surt_key
+
+    cases = [
+        (0, "https://www.Example.com/a/b?b=2&a=1#f", "com,example,www)/a/b?a=1&b=2"),
+        (1, "HTTP://Example.COM:80", "com,example)/"),
+        (2, "http://example.com:8080/x", "com,example:8080)/x"),
+        (3, "https://Example.com:443/", "com,example)/"),
+        (4, "opaque-id-123", "opaque-id-123"),
+        (5, "http://localhost/x", "localhost)/x"),
+        (6, "http://a.b.example.com/deep/path", "com,example,b,a)/deep/path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r["surt_key"] for r in with_surt_key(df).collect()}
+    for i, _, expect in cases:
+        assert got[i] == expect, (i, got[i], expect)
+
+    # prefix-range property over a family of subdomains
+    fam = [(i, f"https://s{i}.w.example.com/p/{i}") for i in range(10)]
+    fam.append((100, "https://other.org/q"))
+    fdf = spark.createDataFrame(fam, "doc_id long, url string")
+    keys = {r["doc_id"]: r["surt_key"] for r in with_surt_key(fdf).collect()}
+    lo, hi = "com,example,", "com,example-"  # ',' < '-' < any label char
+    in_range = {d for d, k in keys.items() if lo <= k < hi}
+    assert in_range == {i for i in range(10)}
