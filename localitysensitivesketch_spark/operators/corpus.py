@@ -691,9 +691,13 @@ def duplicate_span_hits(
     if keep_first:
         # keeper = global min (doc_id, pos) among ALL occurrences of a dup
         # hash — identical to a min over dup hits only, so it rides the
-        # same aggregation
+        # same aggregation.  Null-SAFE exclusion: a NULL doc_id must not
+        # silently drop its dup hits (plain != evaluates to NULL there)
         hits = hits.filter(
-            (F.col("doc_id") != F.col("kdoc")) | (F.col("pos") != F.col("kpos"))
+            ~(
+                F.col("doc_id").eqNullSafe(F.col("kdoc"))
+                & F.col("pos").eqNullSafe(F.col("kpos"))
+            )
         )
     return hits.select("doc_id", "pos")
 

@@ -77,7 +77,11 @@ def surt_key(url: Column) -> Column:
     hierarchy a string PREFIX hierarchy, so a table sorted/range-
     partitioned by ``surt_key`` answers "everything under
     ``*.example.com``" with partition pruning + a range scan
-    (``surt_key >= 'com,example' AND surt_key < 'com,example,'`` …),
+    (apex + subtree: ``surt_key >= 'com,example' AND surt_key <
+    'com,example-'`` — ``-`` is the first codepoint after ``,``, so the
+    upper bound admits both the apex's ``com,example)/…`` keys and every
+    subdomain's ``com,example,…`` keys; subdomains ONLY would be the
+    comma-bounded pair ``>= 'com,example,' AND < 'com,example-'``),
     where raw urls scatter subdomains across the keyspace.  Derived from
     :func:`canonical_url` (lowered host, dropped default port/fragment,
     sorted query), all inside whole-stage codegen; urls with no

@@ -107,7 +107,7 @@ class CurationPipeline:
         self.dedup = DedupPipeline(spark, checkpoint_root, self.cfg)
         self.store = self.dedup.store
 
-    def _stage(self, key, compute, resume, ran, reused):
+    def _stage(self, key, compute, resume, ran, reused, deps=None):
         # one stage-commit protocol for the whole funnel (the near-dup
         # tier's runner owns it).  ``key`` is a pre-qualified stage key
         # from :func:`_qualify` — run() chains each stage's key from its
@@ -115,6 +115,13 @@ class CurationPipeline:
         # hand back a table computed under different parameters (the
         # store's config_sha covers only the shared SketchConfig, not
         # per-run knobs like the containment threshold or span window).
+        # ``deps``: the STAGE-TABLE keys this stage reads (not the param
+        # hash chain — those may differ, e.g. survivors reads the spine's
+        # clusters@<sfx> table); recorded in the store's dependency index
+        # so incremental_update's in-place spine rewrite cascade-
+        # invalidates stale downstream curation commits.
+        if deps is not None:
+            self.store.record_deps(key, deps)
         return self.dedup._stage(key, compute, resume, ran, reused)
 
     def run(
@@ -154,13 +161,13 @@ class CurationPipeline:
         p_cap = {"url_col": url_col, "ts_col": ts_col,
                  "canonicalize": canonicalize}
         k_cap = _qualify("captures", p_cap)
-        captures = self._stage(k_cap, _captures, resume, ran, reused)
+        captures = self._stage(k_cap, _captures, resume, ran, reused, deps=[])
         p_exact = {"text_col": text_col, "in": k_cap}
         k_exact = _qualify("exact_kept", p_exact)
         exact_kept = self._stage(
             k_exact,
             lambda: exact_dedup(captures, text_col=text_col),
-            resume, ran, reused,
+            resume, ran, reused, deps=[k_cap],
         )
         p_quality = {"text_col": text_col, "gopher": self.gopher_kwargs,
                      "in": k_exact}
@@ -170,7 +177,7 @@ class CurationPipeline:
             lambda: gopher_filter(
                 exact_kept, text_col=text_col, **self.gopher_kwargs
             ),
-            resume, ran, reused,
+            resume, ran, reused, deps=[k_exact],
         )
         passed = exact_kept.join(
             quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
@@ -180,6 +187,10 @@ class CurationPipeline:
         dedup_sfx = "@" + _params_sig(
             {"text_col": text_col, "in": [k_exact, k_quality]}
         )
+        # index the suffixed spine stages as dependents of the gates that
+        # produced their input, so invalidating a gate cascades into them
+        for _s in type(self.dedup).STAGES:
+            self.store.record_deps(_s + dedup_sfx, [k_exact, k_quality])
         near = self.dedup.run(
             passed, resume=resume, text_col=text_col, stage_suffix=dedup_sfx
         )
@@ -199,6 +210,7 @@ class CurationPipeline:
                 "left_semi",
             ),
             resume, ran, reused,
+            deps=[k_quality, "clusters" + dedup_sfx],
         )
         tiers = [
             ("latest_capture", captures),
@@ -256,7 +268,7 @@ class CurationPipeline:
                 {"text_col": text_col, "threshold": t, "in": k_surv},
             )
             survivors = self._stage(
-                k_cont, _containment_kept, resume, ran, reused
+                k_cont, _containment_kept, resume, ran, reused, deps=[k_surv]
             )
             k_prev = k_cont
             tiers.append(("containment", survivors))
@@ -289,13 +301,16 @@ class CurationPipeline:
                 {"text_col": text_col, "window": w,
                  "min_remaining": min_rem, "in": k_prev},
             )
-            survivors = self._stage(k_span, _span_cleaned, resume, ran, reused)
+            survivors = self._stage(
+                k_span, _span_cleaned, resume, ran, reused, deps=[k_prev]
+            )
             k_prev = k_span
             tiers.append(("exactsubstr", survivors))
         funnel = self._stage(
             _qualify("funnel", {"in": [k_cap, k_exact, k_quality, k_prev]}),
             lambda: self._funnel(raw, tiers),
             resume, ran, reused,
+            deps=[k_cap, k_exact, k_quality, k_prev],
         )
         return CurationResult(
             captures=captures,

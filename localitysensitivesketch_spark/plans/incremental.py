@@ -158,6 +158,24 @@ def incremental_update(
     out["clusters"] = store.write(nm("clusters"), clusters, wall)
     out["cluster_stats"] = store.write(nm("cluster_stats"), stats, wall)
     # the per-run skew metrics describe only the batch that produced them —
-    # invalidate so a resume recomputes instead of reusing a stale table
-    store.invalidate("skew_metrics")
+    # invalidate so a resume recomputes instead of reusing a stale table.
+    # Use the SUFFIXED key (the one this lineage committed under); also
+    # drop the bare key for checkpoints written before suffix-awareness.
+    store.invalidate(nm("skew_metrics"))
+    if stage_suffix:
+        store.invalidate("skew_metrics")
+    # cascade: any downstream stage (curation's survivors / containment /
+    # span / funnel tables, keyed via this spine's suffix) now holds
+    # pre-merge content — invalidate every commit whose recorded
+    # dependency chain reaches a table rewritten above, so a later
+    # resume=True recomputes them over the merged spine instead of
+    # silently serving stale survivors
+    rewritten = [
+        nm(s)
+        for s in (
+            "signatures", "candidates", "verified", "edges",
+            "clusters", "cluster_stats", "skew_metrics",
+        )
+    ]
+    store.invalidate_downstream(rewritten, exclude=rewritten)
     return out

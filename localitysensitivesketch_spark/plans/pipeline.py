@@ -289,6 +289,58 @@ class CheckpointStore:
         if os.path.exists(p):
             os.remove(p)
 
+    # -- stage dependency index ----------------------------------------------
+
+    def _deps_path(self) -> str:
+        return os.path.join(self.root, "deps.jsonl")
+
+    def record_deps(self, stage: str, deps: list[str]) -> None:
+        """Append a stage→inputs edge set to the durable dependency index
+        (append-only; last record for a stage wins).  Callers that commit
+        stages derived from OTHER stage tables record the input keys here
+        so :meth:`invalidate_downstream` can cascade-invalidate after an
+        in-place rewrite such as :func:`~.incremental.incremental_update`."""
+        rec = {"stage": stage, "deps": sorted(set(deps))}
+        with open(self._deps_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def invalidate_downstream(
+        self, seeds: list[str], exclude: tuple[str, ...] | list[str] = ()
+    ) -> list[str]:
+        """Invalidate every stage whose recorded dependency chain reaches
+        any key in ``seeds`` (the seeds themselves are roots, not targets;
+        ``exclude`` protects stages the caller just rewrote).  Returns the
+        stage keys invalidated — empty when no dependency index exists,
+        which keeps pre-index checkpoints working unchanged."""
+        p = self._deps_path()
+        if not os.path.exists(p):
+            return []
+        deps: dict[str, list[str]] = {}
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                deps[rec["stage"]] = rec.get("deps", [])
+        dirty = set(seeds)
+        changed = True
+        while changed:
+            changed = False
+            for stage, ds in deps.items():
+                if stage in dirty:
+                    continue
+                if any(d in dirty for d in ds):
+                    dirty.add(stage)
+                    changed = True
+        out = sorted(dirty - set(seeds) - set(exclude))
+        for s in out:
+            self.invalidate(s)
+        return out
+
     def read(self, stage: str) -> DataFrame:
         df = self.spark.read.parquet(
             os.path.join(self._stage_dir(stage), "data.parquet")

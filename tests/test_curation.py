@@ -338,3 +338,66 @@ def test_incremental_update_on_curation_root_via_stage_suffix(spark, tmp_path):
     new_id = new_ided.collect()[0]["doc_id"]
     labels = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
     assert labels[new_id] == new_id  # unique page -> its own cluster
+
+
+def test_incremental_update_invalidates_downstream_curation_stages(
+    spark, tmp_path
+):
+    """Round-4 ADVICE fixes: after a suffixed merge, (a) the SUFFIXED
+    skew_metrics commit marker is dropped (not just the bare key), and
+    (b) downstream curation stages (survivors/funnel, keyed via the
+    spine's suffix) are cascade-invalidated so a resume recomputes them
+    over the merged spine instead of serving stale pre-merge content."""
+    from localitysensitivesketch_spark.plans.incremental import (
+        incremental_update,
+    )
+
+    raw, corpus = _raw(spark)
+    pipe = CurationPipeline(spark, str(tmp_path / "cur_inv"), gopher_kwargs=GOPHER)
+    res = pipe.run(raw)
+    sfx = res.dedup_stage_suffix
+    surv_keys = [s for s in res.stages_run if s.startswith("survivors@")]
+    funnel_keys = [s for s in res.stages_run if s.startswith("funnel@")]
+    assert surv_keys and funnel_keys
+    assert pipe.store.is_committed(surv_keys[0])
+    assert pipe.store.is_committed("skew_metrics" + sfx)
+    n_surv_before = res.survivors.count()
+
+    new_docs = spark.createDataFrame(
+        [
+            (
+                "http://brandnew.example/q",
+                datetime(2031, 2, 2),
+                b"<q>",
+                "entirely novel text zz xx cc vv bb nn mm one two three",
+                "en",
+            )
+        ],
+        raw.schema,
+    )
+    from localitysensitivesketch_spark.operators.signatures import with_doc_id
+
+    new_ided = with_doc_id(new_docs)
+    all_docs = res.captures.select(*new_ided.columns).unionByName(new_ided)
+    incremental_update(pipe.store, all_docs, new_ided, pipe.cfg, stage_suffix=sfx)
+
+    # (a) suffixed skew metrics marker dropped
+    assert not pipe.store.is_committed("skew_metrics" + sfx)
+    # (b) downstream curation commits cascade-invalidated...
+    assert not pipe.store.is_committed(surv_keys[0])
+    assert not pipe.store.is_committed(funnel_keys[0])
+    # ...while the freshly-rewritten spine tables stay committed
+    for s in ("signatures", "candidates", "clusters"):
+        assert pipe.store.is_committed(s + sfx), s
+
+    # a resume run RECOMPUTES the invalidated stages over the merged spine
+    # (pre-fix behavior: both reused, silently serving pre-merge content).
+    # The merged-in doc itself stays outside survivors here — it entered
+    # through the spine merge, not the gate stages, and survivors is
+    # passed ∩ cluster-representatives by contract; new rows reach the
+    # gates via a gate rerun (resume=False) or the streaming path.
+    res2 = pipe.run(raw)
+    assert _has(res2.stages_run, "survivors")
+    assert _has(res2.stages_run, "funnel")
+    assert _has(res2.stages_resumed, "captures")  # gates untouched by merge
+    assert res2.survivors.count() == n_surv_before
