@@ -47,6 +47,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.bloom import bloom_build, bloom_supported, might_contain
+
 
 def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -648,6 +650,7 @@ def duplicate_span_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "arrow",
+    prefilter: str = "auto",
 ) -> DataFrame:
     """(doc_id, pos) occurrences of duplicated ``window_tokens``-token
     windows — the positions :func:`remove_duplicate_spans` cuts.
@@ -664,14 +667,34 @@ def duplicate_span_hits(
     as the reference ExactSubstr implementation, which cuts the union of
     duplicated ranges).
 
-    Shuffle shape: ONE hash aggregation over (h) computes dup-ness AND
-    the keeper (min (doc_id, pos)) together with map-side combine, then a
-    fact-dim join of occurrences against the aggregated dup rows (hot
-    boilerplate hashes are single rows after the agg; AQE handles
-    residual skew).  Text never moves.  The window scan itself executes
-    exactly twice (agg side + join side) — at corpus scale that re-scan
-    is the right trade against materializing O(total-tokens) hash rows.
+    Shuffle shape (``prefilter="off"``): ONE hash aggregation over (h)
+    computes dup-ness AND the keeper (min (doc_id, pos)) together with
+    map-side combine, then a fact-dim join of occurrences against the
+    aggregated dup rows (hot boilerplate hashes are single rows after the
+    agg; AQE handles residual skew).  Text never moves.  The window scan
+    itself executes exactly twice (agg side + join side) — at corpus
+    scale that re-scan is the right trade against materializing
+    O(total-tokens) hash rows.
+
+    ``prefilter="auto"`` (default, falls back to ``"off"`` when the
+    bloom expressions are unavailable) adds the singleton-window
+    pre-filter — the reference's filter-before-shuffle pattern
+    (``Pub4PCapStreamKVTable.java:360-374``): windows whose hash occurs
+    ONCE globally (the overwhelming majority of a real corpus) currently
+    ride the full join shuffle just to be dropped by it.  Two-pass shape:
+    (1) aggregate hash-only dup-ness (no keeper, so ``pos`` stays out of
+    the shuffle); (2) build a distributed bloom filter over the dup
+    hashes (bounded bytes on the driver; FPs harmless — the exact join
+    stays), probe it MAP-SIDE on the re-scan so only dup-hash occurrences
+    enter the join shuffle, and compute the keeper over those hits (min
+    over a dup hash's hits ≡ min over all its occurrences).  Outputs are
+    identical under every setting (pinned by tests); only shuffle bytes
+    change.
     """
+    if prefilter not in ("auto", "bloom", "off"):
+        raise ValueError(
+            f"prefilter must be 'auto', 'bloom' or 'off', got {prefilter!r}"
+        )
     occ = sliding_window_occurrences(df, window_tokens, id_col, text_col, method)
     if scope == "docs":
         agg = F.count_distinct(F.col("doc_id"))
@@ -679,6 +702,54 @@ def duplicate_span_hits(
         agg = F.count(F.lit(1))
     else:
         raise ValueError(f"scope must be 'docs' or 'occurrences', got {scope!r}")
+
+    use_bloom = prefilter in ("auto", "bloom") and bloom_supported(
+        df.sparkSession
+    )
+    if use_bloom:
+        # pass 1: dup-ness only — the narrowest possible shuffle rows
+        # ((h, doc_id) pairs after partial distinct for scope="docs",
+        # per-partition-combined (h, n) rows for "occurrences")
+        dup_h = (
+            occ.groupBy("h").agg(agg.alias("n")).filter(F.col("n") >= 2)
+            .select("h")
+        )
+        # two consumers (bloom agg + exact join) of an expensive agg —
+        # materialize once; dup-hash rows are the SMALL side by design
+        dup_h = dup_h.localCheckpoint(eager=True)
+        n_dup = dup_h.count()
+        bloom_bytes = (
+            bloom_build(
+                dup_h.select(F.xxhash64("h").alias("hk")), "hk",
+                expected_items=max(n_dup, 1),
+            )
+            if n_dup
+            else None
+        )
+        occ_probe = occ
+        if bloom_bytes is not None:
+            occ_hk = occ.withColumn("hk", F.xxhash64("h"))
+            pred = might_contain(occ_hk, "hk", bloom_bytes)
+            if pred is not None:
+                occ_probe = occ_hk.filter(pred).drop("hk")
+        # pass 2: exact join (removes bloom FPs) over the pre-filtered
+        # re-scan, keeper computed from the (small) dup hits
+        hits_all = occ_probe.join(dup_h, "h")
+        if keep_first:
+            k = hits_all.groupBy("h").agg(
+                F.min(F.struct("doc_id", "pos")).alias("k")
+            )
+            hits_all = (
+                hits_all.join(k, "h")
+                .filter(
+                    ~(
+                        F.col("doc_id").eqNullSafe(F.col("k.doc_id"))
+                        & F.col("pos").eqNullSafe(F.col("k.pos"))
+                    )
+                )
+            )
+        return hits_all.select("doc_id", "pos")
+
     dup = (
         occ.groupBy("h")
         .agg(agg.alias("n"), F.min(F.struct("doc_id", "pos")).alias("k"))
@@ -741,6 +812,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "arrow",
+    prefilter: str = "auto",
 ) -> DataFrame:
     """ExactSubstr dedup as a corpus transformation: cut every duplicated
     ≥``window_tokens``-token span (any offset — sliding windows, unlike
@@ -757,7 +829,8 @@ def remove_duplicate_spans(
     document's scan stage.
     """
     hits = duplicate_span_hits(
-        df, window_tokens, scope, keep_first, id_col, text_col, method
+        df, window_tokens, scope, keep_first, id_col, text_col, method,
+        prefilter,
     )
     per_doc = hits.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("pos")).alias("ps")
@@ -797,6 +870,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "arrow",
+    prefilter: str = "auto",
 ) -> DataFrame:
     """Per-document audit of the ExactSubstr cut: ``(doc_id, n_tokens,
     tokens_removed, frac_removed)`` for every document (zero rows
@@ -805,7 +879,8 @@ def duplicate_span_stats(
     the union of hit windows, which the SQL oracle recomputes
     independently as a distinct-count over exploded window indices."""
     cleaned = remove_duplicate_spans(
-        df, window_tokens, scope, keep_first, id_col, text_col, method
+        df, window_tokens, scope, keep_first, id_col, text_col, method,
+        prefilter,
     )
     n = F.size(_tokens(text_col))
     return cleaned.select(

@@ -235,3 +235,48 @@ def test_merged_spans_fold_matches_python_interval_merge(spark):
         # invariants: sorted, disjoint, exact coverage
         cover = {x for a, e in got[i] for x in range(a, e)}
         assert cover == {x for p in ps for x in range(p, p + w)}
+
+
+def test_span_hits_prefilter_parity_and_plan(spark):
+    """Round-4 (VERDICT #4): the singleton-window bloom pre-filter must
+    (a) produce hit sets identical to prefilter='off' under both scopes
+    and keep_first settings, and (b) actually place a might_contain probe
+    before the join shuffle."""
+    from localitysensitivesketch_spark.functions.bloom import bloom_supported
+    from localitysensitivesketch_spark.operators.corpus import (
+        duplicate_span_hits,
+    )
+
+    boiler = "subscribe to our newsletter terms of service apply here now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+            (2, f"one two three {boiler} four five six"),
+            (3, "completely unrelated text with no shared windows at all ok"),
+            (4, f"{boiler} prefix shared run and then unique tail words"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    for scope in ("docs", "occurrences"):
+        for keep in (True, False):
+            off = sorted(
+                (r.doc_id, r.pos)
+                for r in duplicate_span_hits(
+                    docs, window_tokens=5, scope=scope, keep_first=keep,
+                    prefilter="off",
+                ).collect()
+            )
+            on = sorted(
+                (r.doc_id, r.pos)
+                for r in duplicate_span_hits(
+                    docs, window_tokens=5, scope=scope, keep_first=keep,
+                    prefilter="bloom",
+                ).collect()
+            )
+            assert on == off, (scope, keep)
+            assert off  # non-vacuous: the boilerplate run produces hits
+    if bloom_supported(spark):
+        hits = duplicate_span_hits(docs, window_tokens=5, prefilter="bloom")
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
