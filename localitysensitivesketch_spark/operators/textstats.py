@@ -175,11 +175,122 @@ def hashed_linear_score(
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Language-ID heuristic: count marker-word hits per language lexicon,
-    argmax wins ('und' = undetermined when all scores are 0).  The lexicons
-    are literal IN-lists → broadcast into codegen, no join, no shuffle."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+def train_language_model(
+    labeled: list[tuple[str, str]],
+    dim: int = 1024,
+    seed: int = 42,
+    alpha: float = 0.5,
+) -> dict:
+    """Train hashed naive-Bayes log-odds weights for :func:`language_id`'s
+    model path from a small labeled sample ``[(lang, text), ...]``.
+
+    Pure driver-side python (a language-ID training set is thousands of
+    short snippets — never cluster-scale); the OUTPUT is what scales: a
+    ``{lang: [dim floats]}`` weight table embedded into codegen, so
+    inference is a map-only pass regardless of corpus size.  Token hashing
+    uses the same seeded-md5 u32 family as :func:`hashed_linear_score`, so
+    train-time bucket ids match the Spark-side lookup bit-for-bit.
+
+    ``w[lang][b] = log P(b|lang) - log P(b|background)`` with add-``alpha``
+    smoothing; a doc's per-language score is the mean over tokens, argmax
+    wins.  Deterministic for fixed inputs.
+    """
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5(f"{tok}:{seed}".encode()).hexdigest()[:8]
+        return int(h, 16) % dim
+
+    per_lang: dict[str, Counter] = {}
+    background: Counter = Counter()
+    for lang, text in labeled:
+        toks = [t for t in text.lower().strip().split() if t]
+        c = per_lang.setdefault(lang, Counter())
+        for t in toks:
+            b = bucket(t)
+            c[b] += 1
+            background[b] += 1
+    bg_total = sum(background.values())
+    weights: dict[str, list[float]] = {}
+    for lang, c in sorted(per_lang.items()):
+        total = sum(c.values())
+        weights[lang] = [
+            math.log((c.get(b, 0) + alpha) / (total + alpha * dim))
+            - math.log((background.get(b, 0) + alpha) / (bg_total + alpha * dim))
+            for b in range(dim)
+        ]
+    return {"dim": dim, "seed": seed, "weights": weights}
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: dict | None = None,
+) -> DataFrame:
+    """Language identification with two interchangeable scorers behind one
+    plan shape (per-language score columns → ``greatest`` argmax, all
+    map-only whole-stage codegen — no join, no shuffle, no Python):
+
+    * default — marker-word heuristic: count hits per tiny per-language
+      lexicon (the oracle-checkable contract path; 'und' when all zero);
+    * ``model=`` a :func:`train_language_model` dict — trained hashed
+      naive-Bayes weights, one ``weights[h(token) % dim]`` array-literal
+      lookup per language (the :func:`hashed_linear_score` machinery), so
+      real fastText-style language ID rides the exact same map-only plan.
+
+    Output schema is ``(doc_id, score_<lang>..., pred_lang)`` either way;
+    the model path's scores are mean log-odds (double), the heuristic's
+    are hit counts (long).
+    """
+    text = F.col(text_col)
+    if model is not None:
+        dim = int(model["dim"])
+        seed = int(model.get("seed", 42))
+        toks = F.filter(
+            F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+        )
+        n = F.size(toks)
+
+        def u32(t):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", t, F.lit(str(seed)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+
+        def model_score(w: list[float]):
+            if len(w) != dim:
+                raise ValueError(f"weights len {len(w)} != dim {dim}")
+            warr = F.array(*[F.lit(float(x)) for x in w])
+            total = F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(warr, (u32(t) % dim + 1).cast("int")),
+            )
+            return F.try_divide(total, n)
+
+        scores = {
+            lang: model_score(w) for lang, w in sorted(model["weights"].items())
+        }
+        langs = sorted(model["weights"])
+        best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
+        pred = F.lit("und")
+        for lang in reversed(langs):
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(n > 0, pred).otherwise(F.lit("und"))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.round(scores[l], 6).alias(f"score_{l}") for l in langs],
+            pred.alias("pred_lang"),
+        )
+
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
 
     def marker_score(markers: list[str]):
         arr = F.array(*[F.lit(w) for w in markers])

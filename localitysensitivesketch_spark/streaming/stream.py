@@ -317,6 +317,154 @@ def process_incremental_batch(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def process_curation_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Curation tiers for ONE micro-batch — quality gate + exact dedup —
+    so a crawl stream lands curated (round-4 VERDICT #6; the batch
+    analogue is ``plans.curation.CurationPipeline``'s exact/quality
+    tiers).  Module-level so the replay contract is unit-testable.
+
+    Tier semantics (streaming-native):
+
+    * **quality gate** (stateless): ``gopher_filter`` keep/drop per doc —
+      a pure function of the text, so running it FIRST (cheapest drop,
+      before any state I/O) changes nothing downstream: members of an
+      exact-dup group share text, hence share the quality verdict.
+    * **exact tier** (stateful, first-seen wins): one keeper per content
+      md5 — min ``id_col`` within the first batch containing the hash.
+      A doc already published downstream can never be unpublished, so
+      first-seen is THE streaming exact-dedup semantic; the surviving
+      text SET is identical to the batch funnel's on any batch split,
+      and the surviving doc-id set matches the batch funnel exactly when
+      batches arrive in ascending ``id_col`` order (the global min id of
+      a hash group is then in its first batch).
+
+    **Idempotent by construction** (same contract as
+    :func:`process_incremental_batch`): the kept-hash store, curated
+    rows, and metrics are all partitioned by batch_id and written with
+    dynamic partition overwrite, and the hash-store read excludes the
+    CURRENT batch_id, so a replayed batch sees the pre-batch state and
+    rewrites only its own partitions.
+
+    Returns the curated batch (the batch's survivors, full rows) so a
+    caller can chain the near-dup tier (:func:`stream_curation`
+    ``dedup=True`` does).
+    """
+    from ..operators.corpus import gopher_filter
+
+    hash_path = os.path.join(store_root, "exact_hashes")
+    curated_path = os.path.join(store_root, "curated")
+    metrics_path = os.path.join(store_root, "curation_metrics")
+
+    n_in = batch_df.count()
+    quality = gopher_filter(
+        batch_df, id_col=id_col, text_col=text_col, **(gopher_kwargs or {})
+    )
+    passed = batch_df.join(
+        quality.filter("keep").select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    ).localCheckpoint(eager=True)  # two consumers (keeper agg + semi join)
+    n_quality = passed.count()
+
+    # exact tier: min-id keeper per md5 WITHIN the batch, minus hashes
+    # already kept by earlier batches (replay excludes this batch's rows)
+    keepers = (
+        passed.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    if os.path.exists(hash_path):
+        seen = spark.read.parquet(hash_path).filter(
+            F.col("batch_id") != F.lit(batch_id)
+        )
+        keepers = keepers.join(seen.select("h"), "h", "left_anti")
+    keepers = keepers.localCheckpoint(eager=True)  # plan reads hash_path
+
+    curated = passed.join(
+        keepers.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    ).localCheckpoint(eager=True)  # consumed by write + caller chain
+    n_curated = curated.count()
+
+    def _write_by_batch(df: DataFrame, path: str) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(path)
+
+    _write_by_batch(keepers, hash_path)
+    _write_by_batch(curated, curated_path)
+    _write_by_batch(
+        spark.createDataFrame(
+            [(n_in, n_quality, n_curated)],
+            "n_in long, n_quality_kept long, n_curated long",
+        ),
+        metrics_path,
+    )
+    return curated
+
+
+def stream_curation(
+    spark: SparkSession,
+    documents: DataFrame,
+    store_root: str,
+    cfg: SketchConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher_kwargs: dict | None = None,
+    dedup: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming curation funnel: every micro-batch runs the quality gate
+    + exact tier (:func:`process_curation_batch`) and, with
+    ``dedup=True``, chains the full near-dup pipeline
+    (:func:`process_incremental_batch` ``full_pipeline=True`` — sigs →
+    incremental candidates → verify → incremental CC) over the CURATED
+    survivors only, under ``store_root/dedup``.  Restart resumes from the
+    stream checkpoint; every per-batch write is replay-idempotent."""
+    ckpt = os.path.join(store_root, "_curation_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        curated = process_curation_batch(
+            spark, batch_df, batch_id, store_root,
+            id_col=id_col, text_col=text_col, gopher_kwargs=gopher_kwargs,
+        )
+        if dedup:
+            process_incremental_batch(
+                spark, curated, batch_id, cfg or SketchConfig(),
+                os.path.join(store_root, "dedup"),
+                id_col=id_col, text_col=text_col, full_pipeline=True,
+            )
+
+    w = (
+        documents.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_curated(spark: SparkSession, store_root: str) -> DataFrame:
+    """The curated corpus a :func:`stream_curation` store has landed so
+    far (union of per-batch survivor partitions; exactly-one-doc-per-
+    surviving-text by the exact tier's keeper contract)."""
+    return spark.read.parquet(os.path.join(store_root, "curated")).drop(
+        "batch_id"
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

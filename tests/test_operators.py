@@ -97,6 +97,51 @@ def test_language_id_markers(spark):
     assert out == {1: "en", 2: "de", 3: "und"}
 
 
+def test_language_id_trained_model(spark):
+    """Round-4 (VERDICT #5): language_id(model=...) — trained hashed
+    naive-Bayes weights through the same map-only plan — classifies
+    held-out snippets the marker heuristic can't (no marker words), with
+    a deterministic model from train_language_model."""
+    train = [
+        ("en", "hello world this is a short english sentence about dogs"),
+        ("en", "another english sentence with words like house water friend"),
+        ("en", "english text talks about dogs house water and friends"),
+        ("de", "hallo welt dies ist ein kurzer deutscher satz über hunde"),
+        ("de", "noch ein deutscher satz mit wörtern wie haus wasser freund"),
+        ("de", "deutscher text über hunde haus wasser und freunde"),
+        ("fr", "bonjour le monde ceci est une courte phrase française"),
+        ("fr", "une autre phrase française avec des mots maison eau ami"),
+        ("fr", "texte français qui parle de chiens maison eau et amis"),
+    ]
+    model = T.train_language_model(train, dim=256, seed=7)
+    assert sorted(model["weights"]) == ["de", "en", "fr"]
+    # determinism: retraining yields identical weights
+    assert T.train_language_model(train, dim=256, seed=7) == model
+
+    held_out = spark.createDataFrame(
+        [
+            (1, "english sentence about water and dogs"),   # no 'the/and-only' reliance
+            (2, "deutscher satz über wasser und hunde"),
+            (3, "phrase française sur eau et chiens"),
+            (4, ""),                                        # empty → und
+        ],
+        "doc_id long, text string",
+    )
+    out = T.language_id(held_out, model=model)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "score_de", "score_en", "score_fr", "pred_lang",
+    ]
+    got = {r["doc_id"]: r["pred_lang"] for r in out.collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+    # the heuristic contract path is unchanged
+    heur = {r["doc_id"]: r["pred_lang"]
+            for r in T.language_id(held_out).collect()}
+    assert heur[4] == "und"
+    # model path stays map-only: no shuffle exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_fingerprint_stable_and_distinct(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"

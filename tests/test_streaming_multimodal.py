@@ -431,3 +431,105 @@ def test_streaming_snapshot_crash_between_renames_recovers(spark, tmp_path):
 
     assert not _os.path.exists(f"{store}/clusters__old")
     assert not _os.path.exists(f"{store}/clusters__staging")
+
+
+# ---------------------------------------------------------------------------
+# streaming curation (round-4 VERDICT #6)
+# ---------------------------------------------------------------------------
+
+_GOOD = "the quick brown fox jumps over the lazy dog and runs far away"
+_DUP = "shared boilerplate text that appears again and again across the crawl"
+_JUNK = "aa aa aa aa aa aa aa aa aa aa aa aa"  # fails chars/token + dup-2gram
+_GQ = {"min_tokens": 5}
+
+
+def _curation_batches(spark):
+    """Three doc batches with ascending ids, planted cross-batch exact dups
+    and quality-gate failures."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b0 = mk([(0, _GOOD + " zero"), (1, _DUP), (2, _JUNK), (3, _GOOD + " alpha")])
+    b1 = mk([(10, _DUP), (11, _GOOD + " beta"), (12, _JUNK), (13, _DUP)])
+    b2 = mk([(20, _GOOD + " gamma"), (21, _DUP), (22, _GOOD + " zero")])
+    return [b0, b1, b2]
+
+
+def _batch_funnel(docs):
+    """The batch-mode equivalent of the streamed tiers: exact dedup
+    (min-id keeper per md5) then the quality gate."""
+    from localitysensitivesketch_spark.operators.corpus import gopher_filter
+    from localitysensitivesketch_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs)
+    return kept.join(
+        gopher_filter(kept, **_GQ).filter("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+
+def test_curation_batches_match_batch_funnel_and_replay(spark, tmp_path):
+    """Ordered micro-batches through process_curation_batch must land
+    exactly the batch funnel's keep-list (quality+exact tiers), and
+    replaying the last batch (Structured Streaming crash contract) must
+    leave the store unchanged."""
+    batches = _curation_batches(spark)
+    alldocs = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    store = str(tmp_path / "cur_store")
+    for i, b in enumerate(batches):
+        ST.process_curation_batch(spark, b, i, store, gopher_kwargs=_GQ)
+
+    want = sorted(r["doc_id"] for r in _batch_funnel(alldocs).collect())
+    got = sorted(r["doc_id"] for r in ST.read_curated(spark, store).collect())
+    assert got == want == [0, 1, 3, 11, 20]
+
+    # replay the last batch: same batch_id, same rows, store already
+    # holds batch 2's partitions — must be a perfect no-op
+    ST.process_curation_batch(spark, batches[2], 2, store, gopher_kwargs=_GQ)
+    again = sorted(r["doc_id"] for r in ST.read_curated(spark, store).collect())
+    assert again == want
+    hashes = spark.read.parquet(f"{store}/exact_hashes")
+    assert hashes.count() == hashes.select("h").distinct().count()
+
+    # per-batch metrics audit rows
+    m = {
+        r["batch_id"]: (r["n_in"], r["n_quality_kept"], r["n_curated"])
+        for r in spark.read.parquet(f"{store}/curation_metrics").collect()
+    }
+    assert m == {0: (4, 3, 3), 1: (4, 3, 1), 2: (3, 3, 1)}
+
+
+def test_stream_curation_end_to_end_with_dedup(spark, tmp_path):
+    """stream_curation over a real file stream: the landed curated corpus
+    keeps exactly one doc per surviving text (md5-set equality with the
+    batch funnel regardless of file trigger order), and dedup=True chains
+    the near-dup pipeline over survivors only."""
+    batches = _curation_batches(spark)
+    alldocs = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    path = str(tmp_path / "cur_docs")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(path)
+    store = str(tmp_path / "cur_stream_store")
+    stream = ST.read_document_stream(
+        spark, path, schema="doc_id long, text string", max_files_per_trigger=1
+    )
+    q = ST.stream_curation(
+        spark, stream, store, cfg=CFG, gopher_kwargs=_GQ, dedup=True
+    )
+    q.awaitTermination(300)
+
+    curated = ST.read_curated(spark, store)
+    got_md5 = sorted(
+        r["h"] for r in curated.select(F.md5("text").alias("h")).collect()
+    )
+    want_md5 = sorted(
+        r["h"]
+        for r in _batch_funnel(alldocs).select(F.md5("text").alias("h")).collect()
+    )
+    assert got_md5 == want_md5
+    assert len(got_md5) == len(set(got_md5))  # one doc per surviving text
+
+    # the chained near-dup tier ran per batch over survivors only
+    clusters = spark.read.parquet(f"{store}/dedup/clusters")
+    assert sorted(r["doc_id"] for r in clusters.collect()) == sorted(
+        r["doc_id"] for r in curated.collect()
+    )
