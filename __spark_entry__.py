@@ -102,6 +102,97 @@ def _q_language_id(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"))
 
 
+# fixed training snippets for the language_id_model contract query — the
+# model retrains deterministically at query/oracle build time, and the
+# weights are integer-scaled (×1e6, exact in a double) so each language's
+# token-weight TOTAL is bit-exact integer arithmetic in BOTH engines and
+# the argmax can never flip on float noise
+_LANG_MODEL_TRAIN = [
+    ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+    ("en", "english sentences talk about house water friend and weather"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund"),
+    ("de", "deutsche sätze sprechen über haus wasser freund und wetter"),
+    ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    ("fr", "les phrases françaises parlent de maison eau ami et temps"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso"),
+    ("es", "las frases españolas hablan de casa agua amigo y tiempo"),
+]
+_LANG_MODEL_DIM = 64
+_LANG_MODEL_SEED = 9
+_LANG_MODEL_CACHE: dict = {}
+
+
+def _lang_model() -> dict:
+    if not _LANG_MODEL_CACHE:
+        m = T.train_language_model(
+            _LANG_MODEL_TRAIN, dim=_LANG_MODEL_DIM, seed=_LANG_MODEL_SEED
+        )
+        m["weights"] = {
+            lang: [float(round(w * 1_000_000)) for w in ws]
+            for lang, ws in m["weights"].items()
+        }
+        _LANG_MODEL_CACHE.update(m)
+    return _LANG_MODEL_CACHE
+
+
+def _q_language_id_model(spark, sf_dir):
+    """language_id(model=...): trained hashed naive-Bayes weights through
+    the map-only argmax plan (operators/textstats.py) — the learned
+    counterpart of the marker heuristic, same schema."""
+    return T.language_id(_t(spark, sf_dir, "documents"), model=_lang_model())
+
+
+def _lang_model_sql() -> str:
+    """DuckDB oracle for language_id_model: same seeded-md5 bucket family,
+    same integer-exact totals, same first-in-sorted-order tie-break."""
+    m = _lang_model()
+    langs = sorted(m["weights"])
+    dim, seed = int(m["dim"]), int(m["seed"])
+    wlit = {
+        lang: "[" + ", ".join(f"{w:.1f}" for w in m["weights"][lang]) + "]"
+        for lang in langs
+    }
+    raws = ",\n".join(
+        f"CASE WHEN n > 0 THEN list_sum(list_transform(ix, i -> "
+        f"list_extract({wlit[lang]}, i))) END AS raw_{lang}"
+        for lang in langs
+    )
+    scores = ",\n".join(
+        f"round(raw_{lang} / n, 6) AS score_{lang}" for lang in langs
+    )
+    # first language in sorted order achieving the max — exactly the
+    # Spark path's reversed-when chain
+    pred_branches = []
+    for i, lang in enumerate(langs):
+        others = [f"raw_{lang} >= raw_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        pred_branches.append(f"WHEN {cond} THEN '{lang}'")
+    pred = (
+        "CASE WHEN n IS NULL OR n = 0 THEN 'und' "
+        + " ".join(pred_branches[:-1])
+        + f" ELSE '{langs[-1]}' END AS pred_lang"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        t -> t <> '') AS ts
+          FROM documents
+        ), b AS (
+          SELECT doc_id, len(ts) AS n,
+            list_transform(ts, t ->
+              CAST((('0x' || substr(md5(t || ':{seed}'), 1, 8))::BIGINT
+                    % {dim}) + 1 AS INT)) AS ix
+          FROM toks
+        ), r AS (
+          SELECT doc_id, n, {raws}
+          FROM b
+        )
+        SELECT doc_id, {scores}, {pred}
+        FROM r
+    """
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     # strategy pinned: the driver testdata has a ~31-token vocabulary, so
     # "auto" always resolves to block here — pinning skips auto's sampling
@@ -774,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_blocklist": _q_host_blocklist,
         "duplicate_span_stats": _q_duplicate_span_stats,
         "surt_keys": _q_surt_keys,
+        "language_id_model": _q_language_id_model,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_group_stats": _q_dedup_group_stats,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -1513,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _QUALITY_SQL,
         "language_id": _LANG_SQL,
+        "language_id_model": _lang_model_sql(),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "containment_pairs": _CONTAINMENT_SQL,
         "cluster_token_cc": _CC_SQL,
