@@ -387,6 +387,73 @@ def contamination_report(
     )
 
 
+_GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is")
+
+
+def _gopher_doc_counts_arrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One ``mapInPandas`` pass computing EVERY per-doc integer count the
+    quality gate needs (token/char/punct/stopword counts + 2/3-gram
+    totals and dup counts) — the ratio/round tail stays JVM-side so the
+    outputs are bit-identical to the pure-built-in path.  The python
+    count replicas are ASCII-exact vs the Spark expressions
+    (:func:`_py_tokens` tokenizer; ``re.ASCII`` classes match Java's
+    default ASCII ``\\w``/``\\s``; ``len(text)`` matches ``F.length``'s
+    code-point count).  Null-text docs emit all-NULL counts — they must
+    still appear in the gate output, where every NULL ratio leaves its
+    rule unfired."""
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
+    sw = frozenset(_GOPHER_STOPWORDS)
+
+    def per_doc(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        cols = ("n_tokens", "n_chars", "n_punct", "n_stop",
+                "g2", "d2", "g3", "d3")
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in ("doc_id", *cols)}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(doc_id)
+                if text is None:
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                toks = _py_tokens(text)
+                out["n_tokens"].append(len(toks))
+                out["n_chars"].append(len(text))
+                out["n_punct"].append(len(punct_re.findall(text)))
+                out["n_stop"].append(
+                    sum(1 for t in _py_tokens(text.lower()) if t in sw)
+                )
+                for n, gk, dk in ((2, "g2", "d2"), (3, "g3", "d3")):
+                    m = len(toks) - n + 1
+                    if m <= 0:
+                        out[gk].append(None)
+                        out[dk].append(None)
+                        continue
+                    c = Counter(zip(*(toks[i:] for i in range(n))))
+                    out[gk].append(m)
+                    out[dk].append(m - len(c))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"]),
+                    **{c: pd.Series(out[c], dtype="Int64") for c in cols},
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        per_doc,
+        f"doc_id {id_type}, n_tokens long, n_chars long, n_punct long, "
+        "n_stop long, g2 long, d2 long, g3 long, d3 long",
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -399,6 +466,7 @@ def gopher_filter(
     min_stopword_ratio: float = 0.01,
     max_dup_2gram_frac: float = 0.20,
     max_dup_3gram_frac: float = 0.18,
+    method: str = "arrow",
 ) -> DataFrame:
     """Gopher-style quality gate (Rae et al. 2021 Table A1 shape): every
     rule evaluated per document, composed into one keep/drop decision with
@@ -411,46 +479,78 @@ def gopher_filter(
     comma-joined failed slugs in fixed alphabetical order (empty string
     when keep), so the result is deterministic and SQL-comparable.
 
-    Plan shape: two scans of the pruned (id, text) projection — one
-    computes every per-row ratio in a single select, the other feeds the
-    per-doc n-gram aggregates of :func:`repetition_stats` (cache the
-    projection upstream to pay the text read once).  The only shuffles
-    carry (doc_id, gram) rows and the tiny per-doc stat rows — text
-    itself never shuffles.  A row whose ratio is undefined (empty text)
-    never fires that ratio's rule.
+    ``method="arrow"`` (default): ONE vectorized per-doc pass computes
+    every integer count the rules need
+    (:func:`_gopher_doc_counts_arrow`) — a single text scan, ZERO
+    shuffles, and none of the interpreted higher-order-function cost of
+    the per-token stopword lambda / per-gram explode (the same 18-40×
+    class :func:`repetition_stats` documents).  The python count
+    replicas are ASCII-exact vs the Java expressions (pinned by a parity
+    test on real + adversarial corpora including BMP unicode).
+
+    ``method="sql"`` (pure-built-in reference path, oracle-mirroring):
+    two scans of the pruned (id, text) projection — one computes every
+    per-row ratio in a single select, the other feeds the per-doc n-gram
+    aggregates of :func:`repetition_stats`.  The only shuffles carry
+    (doc_id, gram) rows and the tiny per-doc stat rows — text itself
+    never shuffles.  In BOTH methods the ratio/round tail is the same
+    JVM expression, so outputs are bit-identical, and a row whose ratio
+    is undefined (empty/null text) never fires that ratio's rule.
     """
     from .textstats import _PUNCT_PAT
 
-    text = F.col(text_col)
-    toks = F.split(F.trim(text), r"\s+")
-    n_tokens = F.size(toks)
-    n_chars = F.length(text)
-    n_punct = F.size(F.expr(f"regexp_extract_all({text_col}, '{_PUNCT_PAT}', 0)"))
-    n_stop = F.size(
-        F.expr(
-            f"filter(split(lower(trim({text_col})), '\\\\s+'), "
-            "t -> t IN ('the','and','of','to','in','a','is'))"
+    if method == "arrow":
+        counts = _gopher_doc_counts_arrow(df, id_col, text_col)
+        j = counts.select(
+            "doc_id",
+            "n_tokens",
+            F.try_divide("n_chars", "n_tokens").alias("chars_per_token"),
+            F.try_divide("n_punct", "n_chars").alias("punct_ratio"),
+            F.try_divide("n_stop", "n_tokens").alias("stopword_ratio"),
+            F.round(F.col("d2") / F.col("g2"), 6).alias("dup2"),
+            F.round(F.col("d3") / F.col("g3"), 6).alias("dup3"),
         )
-    )
-    # try_divide: an empty/whitespace doc has 0 chars or 0 tokens — the
-    # ratio is then NULL (rule not triggered) instead of an ANSI
-    # divide-by-zero error; such docs still fail the n_tokens rule
-    per_row = df.select(
-        F.col(id_col).alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        F.try_divide(n_chars, n_tokens).alias("chars_per_token"),
-        F.try_divide(n_punct, n_chars).alias("punct_ratio"),
-        F.try_divide(n_stop, n_tokens).alias("stopword_ratio"),
-    )
-    reps = (
-        repetition_stats(df, ns=(2, 3), id_col=id_col, text_col=text_col)
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("gram_n") == 2, F.col("dup_frac"))).alias("dup2"),
-            F.max(F.when(F.col("gram_n") == 3, F.col("dup_frac"))).alias("dup3"),
+    elif method == "sql":
+        text = F.col(text_col)
+        toks = F.split(F.trim(text), r"\s+")
+        n_tokens = F.size(toks)
+        n_chars = F.length(text)
+        n_punct = F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{_PUNCT_PAT}', 0)")
         )
-    )
-    j = per_row.join(reps, "doc_id", "left")
+        sw = ",".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+        n_stop = F.size(
+            F.expr(
+                f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+                f"t -> t IN ({sw}))"
+            )
+        )
+        # try_divide: an empty/whitespace doc has 0 chars or 0 tokens — the
+        # ratio is then NULL (rule not triggered) instead of an ANSI
+        # divide-by-zero error; such docs still fail the n_tokens rule
+        per_row = df.select(
+            F.col(id_col).alias("doc_id"),
+            n_tokens.alias("n_tokens"),
+            F.try_divide(n_chars, n_tokens).alias("chars_per_token"),
+            F.try_divide(n_punct, n_chars).alias("punct_ratio"),
+            F.try_divide(n_stop, n_tokens).alias("stopword_ratio"),
+        )
+        reps = (
+            repetition_stats(df, ns=(2, 3), id_col=id_col,
+                             text_col=text_col, method="sql")
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("gram_n") == 2, F.col("dup_frac"))
+                ).alias("dup2"),
+                F.max(
+                    F.when(F.col("gram_n") == 3, F.col("dup_frac"))
+                ).alias("dup3"),
+            )
+        )
+        j = per_row.join(reps, "doc_id", "left")
+    else:
+        raise ValueError(f"method must be 'arrow' or 'sql', got {method!r}")
     # slugs in fixed alphabetical order so reasons is deterministic and
     # reproducible in plain SQL without a sort
     checks = [

@@ -225,3 +225,42 @@ def test_arrow_paths_support_string_ids(spark):
     out = {r["doc_id"]: r["tokens_removed"]
            for r in remove_duplicate_spans(df, 3).collect()}
     assert set(out) == {"u/a", "u/b", "u/c"} and sum(out.values()) > 0
+
+
+def test_gopher_filter_method_parity(spark):
+    """Round-4: gopher_filter's single-pass Arrow count path must be
+    bit-identical to the pure-built-in sql path (the DuckDB oracle
+    mirrors the sql form) on real + adversarial rows: empty, whitespace,
+    null text, BMP unicode, punctuation-heavy, repeated grams, single
+    token, leading/trailing whitespace."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(60))),
+        (2, " ".join(["dup gram"] * 40)),
+        (3, "too short"),
+        (4, ""),
+        (5, "   "),
+        (6, None),
+        (7, "the quick brown fox and the lazy dog of the house is in town"),
+        (8, "über café naïve 中文 words mixed ünicode tokens here now ok"),
+        (9, "!!! ??? ... ;;; ### $$$ %%% &&& *** ((( ))) @@@"),
+        (10, "single"),
+        (11, "  leading and trailing  spaces  around tokens  "),
+        (12, "tabs\tand\nnewlines\rmixed\x0bwhitespace\x0cforms here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_tokens=5, min_stopword_ratio=0.01)
+    a = sorted(
+        (r["doc_id"], r["keep"], r["reasons"])
+        for r in C.gopher_filter(df, method="arrow", **kw).collect()
+    )
+    s = sorted(
+        (r["doc_id"], r["keep"], r["reasons"])
+        for r in C.gopher_filter(df, method="sql", **kw).collect()
+    )
+    assert a == s
+    assert len(a) == len(rows)  # null-text docs still present
+    # the arrow default is shuffle-free: no Exchange in the plan
+    plan = (
+        C.gopher_filter(df, **kw)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
