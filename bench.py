@@ -81,9 +81,9 @@ def main() -> None:
     # file is the newest recorded run; all runs are kept in BENCH/.
     scaling = None
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for name in ("scaling_1v4_800k_r3.json", "scaling_2v8_800k_r2.json",
-                 "scaling_2v8_r2.json", "scaling_4v16_r2.json",
-                 "scaling_4v16.json"):
+    for name in ("scaling_1v4_800k_r4.json", "scaling_1v4_800k_r3.json",
+                 "scaling_2v8_800k_r2.json", "scaling_2v8_r2.json",
+                 "scaling_4v16_r2.json", "scaling_4v16.json"):
         evidence = os.path.join(bench_dir, name)
         if os.path.exists(evidence):
             break
@@ -105,7 +105,10 @@ def main() -> None:
             "see": "BENCH/BASELINE.md",
         }
     # span-tier evidence is independent of the pipeline evidence files
-    span_ev = os.path.join(bench_dir, "span_scaling_2v8_200k_r3.json")
+    for name in ("span_scaling_2v8_200k_r4.json", "span_scaling_2v8_200k_r3.json"):
+        span_ev = os.path.join(bench_dir, name)
+        if os.path.exists(span_ev):
+            break
     if os.path.exists(span_ev):
         with open(span_ev) as f:
             sev = json.load(f)
@@ -115,6 +118,21 @@ def main() -> None:
             "scaling_efficiency": sev["scaling_efficiency"],
             "n_docs": sev["n_docs"],
             "evidence_file": os.path.basename(span_ev),
+        }
+    # integrated all-tiers curation-funnel evidence (tools/funnel_bench.py)
+    funnel_ev = os.path.join(bench_dir, "funnel_2v8_800k_r4.json")
+    if os.path.exists(funnel_ev):
+        with open(funnel_ev) as f:
+            fev = json.load(f)
+        scaling = scaling or {}
+        scaling["curation_funnel"] = {
+            "job": fev["job"],
+            "n_docs": fev["n_docs"],
+            "scaling_efficiency": fev["scaling_efficiency"],
+            "docs_per_sec": {
+                c: fev["levels"][c]["docs_per_sec"] for c in fev["levels"]
+            },
+            "evidence_file": os.path.basename(funnel_ev),
         }
 
     total = round(sum(timings.values()), 3)

@@ -326,14 +326,28 @@ def containment_pairs(
     )
     tok = base.select("doc_id", "n", F.explode("toks").alias("tok"))
     tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tok_df").asc(), F.col("tok").asc()
-    )
-    prefix = (
-        tok.join(tok_df, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("n") - _ceil_safe(F.lit(t) * F.col("n")) + 1)
-    )
+    ranked = tok.join(tok_df, "tok")
+    if t == 1.0:
+        # prefix length is n − ceil(n) + 1 = 1: only each doc's globally
+        # rarest token probes.  min(struct(tok_df, tok)) picks the exact
+        # row the window path ranks rn=1 (same (tok_df asc, tok asc)
+        # order), but as ONE hash aggregation with map-side partial
+        # combine — no per-doc sort of the corpus-sized (doc, token)
+        # table, which is the containment tier's wall at 10^6+ docs
+        # (n is constant within a doc, so carrying it in the struct
+        # cannot change the argmin).
+        prefix = ranked.groupBy("doc_id").agg(
+            F.min(F.struct("tok_df", "tok", "n")).alias("m")
+        ).select(
+            "doc_id", F.col("m.tok").alias("tok"), F.col("m.n").alias("n")
+        )
+    else:
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tok_df").asc(), F.col("tok").asc()
+        )
+        prefix = ranked.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= F.col("n") - _ceil_safe(F.lit(t) * F.col("n")) + 1
+        )
     from .candidates import probe_index_pairs
 
     cand, _ = probe_index_pairs(

@@ -12,10 +12,15 @@ per-stage and per-partition progress + metrics, so any stage is resumable
 Backend: the design target is Iceberg (`df.writeTo(...).append()`,
 snapshot-id lineage, MERGE for incremental runs); the sandbox has no
 Iceberg runtime jars, so :class:`CheckpointStore` commits parquet
-directories with an atomic ``_SUCCESS``-style manifest row instead.  The
-store's surface (write/read/exists/lineage) is exactly what an Iceberg
-catalog-backed implementation would expose; swap `_write_parquet` for
-``writeTo`` on a real cluster.
+directories with an atomic ``_SUCCESS``-style manifest row instead — and
+realizes the Iceberg snapshot model on that fallback: every commit
+appends a snapshot row (monotonic id, parent, operation), superseded
+versions archive under ``_history/<id>`` with bounded retention, and the
+store exposes time-travel ``read(stage, snapshot_id=)``, ``rollback``,
+``expire_snapshots`` and a row-level ``read_changes`` changelog.  The
+store's surface (write/read/snapshots/lineage) is exactly what an
+Iceberg catalog-backed implementation would expose; swap
+`_write_parquet` for ``writeTo`` on a real cluster.
 
 Resume safety: a checkpoint is only reused when its recorded SketchConfig
 JSON matches the current one (the reference's same-config ⇒ same-clusters
@@ -59,17 +64,30 @@ class CheckpointStore:
     Layout::
 
         root/
-          <stage>/data.parquet/...      stage output table
+          <stage>/data.parquet/...      stage output table (current version)
           <stage>/partitions.parquet    per-partition row counts
           <stage>/_COMMIT.json          commit marker (rows, config, wall)
+          <stage>/snapshots.jsonl       per-stage snapshot metadata log
+          <stage>/_history/<id>/...     retained superseded versions
           lineage.jsonl                 append-only stage commit log
+          deps.jsonl                    stage→inputs dependency index
     """
 
-    def __init__(self, spark: SparkSession, root: str, cfg: SketchConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cfg: SketchConfig,
+        snapshot_retention: int = 2,
+    ):
         self.spark = spark
         self.root = root
         self.cfg = cfg
         self.cfg_sha = _config_sha(cfg)
+        # how many SUPERSEDED stage versions stay time-travel readable
+        # (Iceberg's expire_snapshots retention; the current version is
+        # always readable and never counts against this)
+        self.snapshot_retention = snapshot_retention
         os.makedirs(root, exist_ok=True)
 
     # -- commit protocol ----------------------------------------------------
@@ -92,23 +110,30 @@ class CheckpointStore:
         return meta.get("config_sha") == self.cfg_sha and meta.get("status") == "ok"
 
     def write(
-        self, stage: str, df: DataFrame, wall_sec: float | None = None
+        self,
+        stage: str,
+        df: DataFrame,
+        wall_sec: float | None = None,
+        operation: str = "overwrite",
     ) -> DataFrame:
         """Commit a stage: data + per-partition lineage + marker (last).
 
         Writes into a staging dir first and swaps it in afterwards, so a
         stage may be rewritten from a plan that READS its own previous
         version (the incremental MERGE pattern) — the old files stay
-        readable until the new ones are complete.  Iceberg gives this for
-        free via snapshots; this is the parquet-store equivalent.
+        readable until the new ones are complete.  A superseded version
+        is ARCHIVED under ``_history/<snapshot_id>/`` (not deleted) and a
+        snapshot row is appended to the stage's ``snapshots.jsonl``, so
+        :meth:`read` can time-travel to any retained snapshot and
+        :meth:`rollback` can restore one — the Iceberg snapshot model on
+        the parquet fallback; the last ``snapshot_retention`` superseded
+        versions stay readable (:meth:`expire_snapshots`).
 
         ``wall_sec=None`` (the default for stage runners) records the
         materialization wall measured around the parquet write itself —
         callers used to pass ``time.time() - t0`` captured BEFORE the
         write ran, which timed lazy plan construction (~0 s), not the job.
         """
-        import shutil
-
         d = self._stage_dir(stage)
         data_path = os.path.join(d, "data.parquet")
         staging = os.path.join(d, f"data.parquet.staging-{uuid.uuid4().hex[:8]}")
@@ -117,12 +142,14 @@ class CheckpointStore:
         if wall_sec is None:
             wall_sec = time.time() - t_write
         if os.path.exists(data_path):
-            old = data_path + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            os.replace(data_path, old)
+            # archive the superseded version under the snapshot id that
+            # produced it (a pre-snapshot-era table gets id 0)
+            prev = self.snapshots(stage)
+            prev_id = prev[-1]["snapshot_id"] if prev else 0
+            hist = os.path.join(d, "_history", str(prev_id))
+            os.makedirs(hist, exist_ok=True)
+            os.replace(data_path, os.path.join(hist, "data.parquet"))
             os.replace(staging, data_path)
-            shutil.rmtree(old)
         else:
             os.replace(staging, data_path)
         out = self.spark.read.parquet(data_path)
@@ -137,6 +164,7 @@ class CheckpointStore:
         parts.write.mode("overwrite").parquet(os.path.join(d, "partitions.parquet"))
         rows = out.count()
         n_parts = out.rdd.getNumPartitions()
+        snap = self._record_snapshot(stage, rows, operation)
         meta = {
             "run_id": getattr(self, "run_id", "adhoc"),
             "stage": stage,
@@ -146,6 +174,7 @@ class CheckpointStore:
             "wall_sec": round(wall_sec, 3),
             "config_sha": self.cfg_sha,
             "committed_at": time.time(),
+            "snapshot_id": snap["snapshot_id"],
         }
         # marker written last = the commit point (atomic rename)
         tmp = self._commit_path(stage) + f".tmp.{uuid.uuid4().hex}"
@@ -154,6 +183,7 @@ class CheckpointStore:
         os.replace(tmp, self._commit_path(stage))
         with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
             f.write(json.dumps(meta) + "\n")
+        self.expire_snapshots(stage)
         return out
 
     def _finalize(self, stage: str, out: DataFrame, wall_sec: float,
@@ -164,6 +194,10 @@ class CheckpointStore:
         parts.write.mode("overwrite").parquet(os.path.join(d, "partitions.parquet"))
         rows = out.count()
         n_parts = out.rdd.getNumPartitions()
+        # sliced commits rewrite slice subdirs in place, so there is no
+        # superseded whole-table version to archive — the snapshot row
+        # still lands (operation marks it) so lineage stays uniform
+        snap = self._record_snapshot(stage, rows, "overwrite-sliced")
         meta = {
             "run_id": getattr(self, "run_id", "adhoc"),
             "stage": stage,
@@ -173,6 +207,7 @@ class CheckpointStore:
             "wall_sec": round(wall_sec, 3),
             "config_sha": self.cfg_sha,
             "committed_at": time.time(),
+            "snapshot_id": snap["snapshot_id"],
         }
         tmp = self._commit_path(stage) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -341,10 +376,139 @@ class CheckpointStore:
             self.invalidate(s)
         return out
 
-    def read(self, stage: str) -> DataFrame:
-        df = self.spark.read.parquet(
-            os.path.join(self._stage_dir(stage), "data.parquet")
+    # -- snapshots (Iceberg time-travel parity on the parquet fallback) ------
+
+    def _snapshots_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "snapshots.jsonl")
+
+    def snapshots(self, stage: str) -> list[dict]:
+        """Commit history of a stage, oldest first: ``snapshot_id`` (int,
+        monotonic per stage), ``parent_id``, ``operation``, ``rows``,
+        ``config_sha``, ``committed_at`` — the Iceberg snapshot-metadata
+        analogue.  Empty list for a stage never written (or written
+        before this index existed)."""
+        p = self._snapshots_path(stage)
+        if not os.path.exists(p):
+            return []
+        out = []
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        return out
+
+    def _record_snapshot(self, stage: str, rows: int, operation: str) -> dict:
+        snaps = self.snapshots(stage)
+        os.makedirs(self._stage_dir(stage), exist_ok=True)
+        rec = {
+            "snapshot_id": (snaps[-1]["snapshot_id"] + 1) if snaps else 1,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "operation": operation,
+            "rows": rows,
+            "config_sha": self.cfg_sha,
+            "committed_at": time.time(),
+        }
+        with open(self._snapshots_path(stage), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def _snapshot_data_path(self, stage: str, snapshot_id: int) -> str:
+        snaps = self.snapshots(stage)
+        if not snaps:
+            raise FileNotFoundError(
+                f"stage {stage!r} has no snapshot history"
+            )
+        known = {s["snapshot_id"] for s in snaps}
+        if snapshot_id not in known:
+            raise FileNotFoundError(
+                f"stage {stage!r} has no snapshot {snapshot_id} "
+                f"(known: {sorted(known)})"
+            )
+        if snapshot_id == snaps[-1]["snapshot_id"]:
+            return os.path.join(self._stage_dir(stage), "data.parquet")
+        hist = os.path.join(
+            self._stage_dir(stage), "_history", str(snapshot_id), "data.parquet"
         )
+        if not os.path.exists(hist):
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} of stage {stage!r} was expired "
+                f"(retention {self.snapshot_retention}); increase "
+                "snapshot_retention to keep more history"
+            )
+        return hist
+
+    def rollback(self, stage: str, snapshot_id: int) -> DataFrame:
+        """Restore a retained snapshot as the CURRENT version of a stage —
+        Iceberg's ``rollback_to_snapshot``, as a new commit (the rolled-
+        back-to data is re-materialized and the superseded current version
+        is itself archived, so a rollback is undoable and the lineage log
+        stays strictly append-only)."""
+        df = self.spark.read.parquet(self._snapshot_data_path(stage, snapshot_id))
+        if "__slice" in df.columns:
+            df = df.drop("__slice")
+        return self.write(df=df, stage=stage, operation=f"rollback-to-{snapshot_id}")
+
+    def expire_snapshots(self, stage: str, keep_last: int | None = None) -> list[int]:
+        """Delete archived versions beyond the newest ``keep_last``
+        (default: the store's ``snapshot_retention``) — Iceberg's
+        ``expire_snapshots`` disk bound.  The current version never
+        expires.  Returns the snapshot ids whose data was removed."""
+        import shutil
+
+        keep = self.snapshot_retention if keep_last is None else keep_last
+        hist_root = os.path.join(self._stage_dir(stage), "_history")
+        if not os.path.exists(hist_root):
+            return []
+        archived = sorted(
+            (int(n) for n in os.listdir(hist_root) if n.isdigit()),
+            reverse=True,
+        )
+        expired = []
+        for sid in archived[keep:]:
+            shutil.rmtree(os.path.join(hist_root, str(sid)), ignore_errors=True)
+            expired.append(sid)
+        return sorted(expired)
+
+    def read_changes(
+        self,
+        stage: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level changelog between two retained snapshots — Iceberg's
+        incremental/CDC read on the parquet fallback: the target version
+        (current when ``to_snapshot_id`` is None) diffed against the
+        ``from`` version, one ``_change ∈ {added, removed}`` column
+        appended.  Multiset semantics (``exceptAll``), so duplicate rows
+        diff by count.  This is an audit/debug surface (what did the last
+        MERGE do to clusters?) — it shuffles both versions once; don't
+        put it on a hot path."""
+        new = self.read(stage, to_snapshot_id)
+        old = self.read(stage, from_snapshot_id)
+        return (
+            new.exceptAll(old)
+            .withColumn("_change", F.lit("added"))
+            .unionByName(
+                old.exceptAll(new).withColumn("_change", F.lit("removed"))
+            )
+        )
+
+    def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a stage table — the current version by default, or a
+        retained historical version via ``snapshot_id`` (time travel)."""
+        if snapshot_id is not None:
+            df = self.spark.read.parquet(
+                self._snapshot_data_path(stage, snapshot_id)
+            )
+        else:
+            df = self.spark.read.parquet(
+                os.path.join(self._stage_dir(stage), "data.parquet")
+            )
         # sliced stages carry the internal __slice partition-dir column
         return df.drop("__slice") if "__slice" in df.columns else df
 

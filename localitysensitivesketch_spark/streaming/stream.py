@@ -325,18 +325,27 @@ def process_curation_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     gopher_kwargs: dict | None = None,
+    blocklist: list[str] | None = None,
+    url_col: str = "url",
+    redact: bool = False,
 ) -> DataFrame:
-    """Curation tiers for ONE micro-batch — quality gate + exact dedup —
-    so a crawl stream lands curated (round-4 VERDICT #6; the batch
-    analogue is ``plans.curation.CurationPipeline``'s exact/quality
-    tiers).  Module-level so the replay contract is unit-testable.
+    """Curation tiers for ONE micro-batch — optional host blocklist →
+    quality gate → exact dedup → optional PII redaction — so a crawl
+    stream lands curated (round-4 VERDICT #6; the batch analogue is
+    ``plans.curation.CurationPipeline``'s exact/quality tiers).
+    Module-level so the replay contract is unit-testable.
 
     Tier semantics (streaming-native):
 
+    * **host blocklist** (stateless, optional): label-boundary suffix
+      match of the url's host against ``blocklist``
+      (:func:`~..operators.urls.filter_blocked_hosts` list path — pure
+      codegen, no join).  Runs FIRST: it reads only the url, so blocked
+      rows never pay text work or state I/O.
     * **quality gate** (stateless): ``gopher_filter`` keep/drop per doc —
-      a pure function of the text, so running it FIRST (cheapest drop,
-      before any state I/O) changes nothing downstream: members of an
-      exact-dup group share text, hence share the quality verdict.
+      a pure function of the text, so running it before the exact tier
+      changes nothing downstream: members of an exact-dup group share
+      text, hence share the quality verdict.
     * **exact tier** (stateful, first-seen wins): one keeper per content
       md5 — min ``id_col`` within the first batch containing the hash.
       A doc already published downstream can never be unpublished, so
@@ -345,25 +354,39 @@ def process_curation_batch(
       and the surviving doc-id set matches the batch funnel exactly when
       batches arrive in ascending ``id_col`` order (the global min id of
       a hash group is then in its first batch).
+    * **PII redaction** (stateless, optional): ``redact=True`` lands a
+      ``redacted_text`` column on the curated rows; the raw ``text_col``
+      is kept byte-identical (input_hint invariant).
 
     **Idempotent by construction** (same contract as
     :func:`process_incremental_batch`): the kept-hash store, curated
     rows, and metrics are all partitioned by batch_id and written with
     dynamic partition overwrite, and the hash-store read excludes the
     CURRENT batch_id, so a replayed batch sees the pre-batch state and
-    rewrites only its own partitions.
+    rewrites only its own partitions — the optional tiers are stateless,
+    so they cannot perturb this contract.
 
     Returns the curated batch (the batch's survivors, full rows) so a
     caller can chain the near-dup tier (:func:`stream_curation`
     ``dedup=True`` does).
     """
     from ..operators.corpus import gopher_filter
+    from ..operators.pii import redact_pii
+    from ..operators.urls import filter_blocked_hosts, url_host
 
     hash_path = os.path.join(store_root, "exact_hashes")
     curated_path = os.path.join(store_root, "curated")
     metrics_path = os.path.join(store_root, "curation_metrics")
 
     n_in = batch_df.count()
+    if blocklist:
+        batch_df = filter_blocked_hosts(
+            batch_df.withColumn("__host", url_host(F.col(url_col))),
+            blocklist,
+            host_col="__host",
+            id_col=id_col,
+        ).drop("__host")
+    n_unblocked = batch_df.count() if blocklist else n_in
     quality = gopher_filter(
         batch_df, id_col=id_col, text_col=text_col, **(gopher_kwargs or {})
     )
@@ -392,7 +415,10 @@ def process_curation_batch(
 
     curated = passed.join(
         keepers.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
-    ).localCheckpoint(eager=True)  # consumed by write + caller chain
+    )
+    if redact:
+        curated = redact_pii(curated, text_col=text_col)
+    curated = curated.localCheckpoint(eager=True)  # write + caller chain
     n_curated = curated.count()
 
     def _write_by_batch(df: DataFrame, path: str) -> None:
@@ -406,8 +432,9 @@ def process_curation_batch(
     _write_by_batch(curated, curated_path)
     _write_by_batch(
         spark.createDataFrame(
-            [(n_in, n_quality, n_curated)],
-            "n_in long, n_quality_kept long, n_curated long",
+            [(n_in, n_unblocked, n_quality, n_curated)],
+            "n_in long, n_unblocked long, n_quality_kept long, "
+            "n_curated long",
         ),
         metrics_path,
     )
@@ -424,20 +451,26 @@ def stream_curation(
     gopher_kwargs: dict | None = None,
     dedup: bool = False,
     available_now: bool = True,
+    blocklist: list[str] | None = None,
+    url_col: str = "url",
+    redact: bool = False,
 ) -> StreamingQuery:
-    """Streaming curation funnel: every micro-batch runs the quality gate
-    + exact tier (:func:`process_curation_batch`) and, with
-    ``dedup=True``, chains the full near-dup pipeline
-    (:func:`process_incremental_batch` ``full_pipeline=True`` — sigs →
-    incremental candidates → verify → incremental CC) over the CURATED
-    survivors only, under ``store_root/dedup``.  Restart resumes from the
-    stream checkpoint; every per-batch write is replay-idempotent."""
+    """Streaming curation funnel: every micro-batch runs the stateless
+    hygiene tiers (optional host ``blocklist``, optional PII
+    ``redact``) + quality gate + exact tier
+    (:func:`process_curation_batch`) and, with ``dedup=True``, chains
+    the full near-dup pipeline (:func:`process_incremental_batch`
+    ``full_pipeline=True`` — sigs → incremental candidates → verify →
+    incremental CC) over the CURATED survivors only, under
+    ``store_root/dedup``.  Restart resumes from the stream checkpoint;
+    every per-batch write is replay-idempotent."""
     ckpt = os.path.join(store_root, "_curation_checkpoint")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         curated = process_curation_batch(
             spark, batch_df, batch_id, store_root,
             id_col=id_col, text_col=text_col, gopher_kwargs=gopher_kwargs,
+            blocklist=blocklist, url_col=url_col, redact=redact,
         )
         if dedup:
             process_incremental_batch(

@@ -53,6 +53,11 @@ def test_containment_exact_on_degenerate_vocab_corpus(spark):
     got = {tuple(r) for r in containment_pairs(docs, 0.9).collect()}
     assert got == _brute(rows, 0.9)
     assert len(got) > 0  # non-vacuous on this corpus
+    # t=1.0 takes the min_by aggregation prefix (no window sort) — must
+    # be exactly the window path's answer, i.e. the brute-force one
+    got1 = {tuple(r) for r in containment_pairs(docs, 1.0).collect()}
+    assert got1 == _brute(rows, 1.0)
+    assert len(got1) > 0
 
 
 def test_containment_salted_tier_equals_plain(spark):

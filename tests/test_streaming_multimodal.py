@@ -498,6 +498,46 @@ def test_curation_batches_match_batch_funnel_and_replay(spark, tmp_path):
     assert m == {0: (4, 3, 3), 1: (4, 3, 1), 2: (3, 3, 1)}
 
 
+def test_curation_batch_blocklist_and_redact_tiers(spark, tmp_path):
+    """The stateless streaming tiers: a host blocklist drops rows before
+    any text work (suffix match through subdomains), redact=True lands a
+    redacted_text column while the raw text stays byte-identical, and a
+    replay is still a no-op."""
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    b0 = mk(
+        [
+            (0, "https://ok.example.com/a", _GOOD + " email me a@b.com now"),
+            (1, "https://spam.bad.net/x", _GOOD + " spam one"),
+            (2, "https://sub.spam.bad.net/y", _GOOD + " spam two"),
+            (3, "https://fine.org/z", _GOOD + " clean"),
+        ]
+    )
+    store = str(tmp_path / "blk_store")
+    out = ST.process_curation_batch(
+        spark, b0, 0, store, gopher_kwargs=_GQ,
+        blocklist=["spam.bad.net"], redact=True,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [0, 3]  # both blocklisted hosts dropped
+    # raw text untouched; redaction is a derived column
+    assert "a@b.com" in rows[0]["text"]
+    assert "a@b.com" not in rows[0]["redacted_text"]
+    assert rows[3]["redacted_text"] == rows[3]["text"]
+
+    m = spark.read.parquet(f"{store}/curation_metrics").collect()[0]
+    assert (m["n_in"], m["n_unblocked"], m["n_curated"]) == (4, 2, 2)
+
+    # replay contract holds with the stateless tiers active
+    ST.process_curation_batch(
+        spark, b0, 0, store, gopher_kwargs=_GQ,
+        blocklist=["spam.bad.net"], redact=True,
+    )
+    again = sorted(r["doc_id"] for r in ST.read_curated(spark, store).collect())
+    assert again == [0, 3]
+
+
 def test_stream_curation_end_to_end_with_dedup(spark, tmp_path):
     """stream_curation over a real file stream: the landed curated corpus
     keeps exactly one doc per surviving text (md5-set equality with the
