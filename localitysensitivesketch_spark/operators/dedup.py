@@ -287,6 +287,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: SketchConfig | None = None,
+    probe_k: int = 3,
 ) -> DataFrame:
     """Directional token-set containment: every ordered pair with
     ``|T(a) ∩ T(b)| / |T(a)| ≥ t``, emitted as
@@ -297,15 +298,29 @@ def containment_pairs(
 
     EXACT at any threshold.  Prefix-filter lemma for containment: order
     each doc's tokens by global document frequency (rarest first); if
-    ``C(a→b) ≥ t`` then at most ``|a| − ceil(t·|a|)`` of a's tokens miss
-    T(b), so a's prefix of length ``|a| − ceil(t·|a|) + 1`` must intersect
-    T(b).  Only the contained side can prune — the container side indexes
-    ALL its tokens — so candidates come from the asymmetric
+    ``C(a→b) ≥ t`` then at most ``m = |a| − ceil(t·|a|)`` of a's tokens
+    miss T(b).  Only the contained side can prune — the container side
+    indexes ALL its tokens — so candidates come from the asymmetric
     :func:`~..operators.candidates.probe_index_pairs` join (prefix tokens
     probe the full inverted index; hot index buckets salted, nothing
-    dropped).  A size prune (``|b| ≥ ceil(t·|a|)``) rides the candidate
-    row before the exact array-intersect verify.  At ``t = 1`` the probe
-    is a single token per doc (its globally rarest).
+    dropped).
+
+    **k-probe count filter** (``probe_k``, lossless by pigeonhole): each
+    doc probes its ``min(m + k, |a|)`` rarest tokens and a candidate pair
+    must match at least ``probes_emitted − m`` of them (a true pair
+    misses at most m probes).  With the classic single-intersect prefix
+    (k = 1) every doc whose rarest token is still common drags
+    ``df(token)`` candidate pairs into the exact verify — on a
+    uniform-vocabulary corpus that is ~df(rarest) ≈ hundreds of pairs
+    PER DOC, and the verify join then shuffles two full token arrays per
+    pair (measured: the 800 k-doc funnel bench filled 91 GB of tmpfs
+    shuffle and took the kernel OOM killer down on exactly this).  Each
+    extra probe multiplies the false-candidate rate by roughly
+    P(one specific token ∈ T(b)) ≪ 1 while adding only one narrow
+    (id, key, n) row per doc, so the count filter turns the verify input
+    from ~Σ df(rarest) pairs into nearly the true pair set.  The count
+    aggregation itself shuffles only 16-byte pair rows.  A size prune
+    (``|b| ≥ ceil(t·|a|)``) runs BEFORE the count aggregation.
 
     Unlike Jaccard, containment is not symmetric: both directions of a
     pair are tested and emitted independently when both pass.
@@ -314,6 +329,9 @@ def containment_pairs(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {t}")
+    k = int(probe_k)
+    if k < 1:
+        raise ValueError(f"probe_k must be ≥ 1, got {probe_k}")
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -327,39 +345,64 @@ def containment_pairs(
     tok = base.select("doc_id", "n", F.explode("toks").alias("tok"))
     tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
     ranked = tok.join(tok_df, "tok")
+    # probes emitted per doc: L = min(m + k, n), rarest-first; a true
+    # pair must match ≥ L − m of them (m = miss budget = n − ceil(t·n))
     if t == 1.0:
-        # prefix length is n − ceil(n) + 1 = 1: only each doc's globally
-        # rarest token probes.  min(struct(tok_df, tok)) picks the exact
-        # row the window path ranks rn=1 (same (tok_df asc, tok asc)
-        # order), but as ONE hash aggregation with map-side partial
-        # combine — no per-doc sort of the corpus-sized (doc, token)
-        # table, which is the containment tier's wall at 10^6+ docs
-        # (n is constant within a doc, so carrying it in the struct
-        # cannot change the argmin).
-        prefix = ranked.groupBy("doc_id").agg(
-            F.min(F.struct("tok_df", "tok", "n")).alias("m")
-        ).select(
-            "doc_id", F.col("m.tok").alias("tok"), F.col("m.n").alias("n")
+        # m = 0, L = min(k, n): the k globally rarest tokens of each doc.
+        # slice(array_sort(collect_list(struct(tok_df, tok)))) picks the
+        # exact rows the window path ranks rn ≤ k (same (tok_df asc,
+        # tok asc) order) but as ONE hash aggregation + per-doc local
+        # sort — no global sort of the corpus-sized (doc, token) table,
+        # which was this tier's first wall at 10^6 docs.
+        prefix = (
+            ranked.groupBy("doc_id")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("tok_df", "tok"))),
+                    1,
+                    k,
+                ).alias("ms"),
+                F.first("n").alias("n"),
+            )
+            .select("doc_id", F.explode("ms").alias("m"), "n")
+            .select("doc_id", F.col("m.tok").alias("tok"), "n")
         )
     else:
+        _m = F.col("n") - _ceil_safe(F.lit(t) * F.col("n"))
         w = Window.partitionBy("doc_id").orderBy(
             F.col("tok_df").asc(), F.col("tok").asc()
         )
         prefix = ranked.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= F.col("n") - _ceil_safe(F.lit(t) * F.col("n")) + 1
+            F.col("rn") <= F.least(_m + F.lit(k), F.col("n"))
         )
     from .candidates import probe_index_pairs
 
+    # the probe's key rides along as payload ("pk") so the count filter
+    # below can count DISTINCT matched probes per pair after the lossless
+    # distinct inside probe_index_pairs
     cand, _ = probe_index_pairs(
-        prefix.select("doc_id", F.xxhash64("tok").alias("key"), "n"),
-        tok.select("doc_id", F.xxhash64("tok").alias("key"), "n"),
+        prefix.select(
+            "doc_id", F.xxhash64("tok").alias("key"), "n",
+            F.xxhash64("tok").alias("pk"),
+        ),
+        tok.select(
+            "doc_id", F.xxhash64("tok").alias("key"), "n",
+            F.xxhash64("tok").alias("pk"),
+        ),
         cfg,
-        payload_cols=("n",),
+        payload_cols=("n", "pk"),
     )
+    # size prune FIRST (narrow rows), then the k-probe count filter: keep
+    # pairs matching ≥ L_p − m_p distinct probes — only these ship token
+    # arrays into the exact verify
+    m_p = F.col("n_p") - _ceil_safe(F.lit(t) * F.col("n_p"))
+    req = F.least(m_p + F.lit(k), F.col("n_p")) - m_p
     cand = (
         cand.filter(F.col("n_i") >= _ceil_safe(F.lit(t) * F.col("n_p")))
+        .groupBy("probe_id", "index_id", "n_p")
+        .agg(F.count_distinct(F.col("pk_p")).alias("hits"))
+        .filter(F.col("hits") >= req)
         .select("probe_id", "index_id")
-        .distinct()
     )
     a = base.select(
         F.col("doc_id").alias("probe_id"), F.col("toks").alias("ta"),
