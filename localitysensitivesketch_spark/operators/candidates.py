@@ -148,6 +148,7 @@ def probe_index_pairs(
     key_col: str = "key",
     hot_threshold: int = HOT_THRESHOLD,
     payload_cols: tuple[str, ...] = (),
+    distinct: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Asymmetric membership probe: every (probe_id, index_id) pair sharing
     ≥1 key, ``probe_id != index_id`` — the directional analogue of
@@ -164,7 +165,15 @@ def probe_index_pairs(
     (a prefix filter keeps probe keys few and globally rare).
 
     Returns (pairs, metrics); payload columns ride along as ``{col}_p`` /
-    ``{col}_i``.  Pairs are distinct (probe_id, index_id, payloads) rows.
+    ``{col}_i``.  With ``distinct=True`` (default) pairs are distinct
+    (probe_id, index_id, payloads) rows — a full extra shuffle of the
+    candidate set.  Callers whose downstream step is itself a per-pair
+    aggregation (e.g. the containment count filter) pass
+    ``distinct=False``: duplicates are impossible when (id, key) rows are
+    unique on both sides (normal and hot tiers partition the key space,
+    and within the hot tier each index row lands in exactly one salt), so
+    the dedup pass would only re-shuffle the widest intermediate for
+    nothing.
     """
     probe = probe.select(
         F.col(id_col).alias("probe_id"),
@@ -237,7 +246,10 @@ def probe_index_pairs(
         .select(*_sel("hp", "probe_id", "p"), *_sel("hi", "index_id", "i"))
     )
 
-    return pairs_normal.unionByName(pairs_hot).distinct(), metrics
+    pairs = pairs_normal.unionByName(pairs_hot)
+    if distinct:
+        pairs = pairs.distinct()
+    return pairs, metrics
 
 
 def band_candidates(

@@ -378,8 +378,11 @@ def containment_pairs(
     from .candidates import probe_index_pairs
 
     # the probe's key rides along as payload ("pk") so the count filter
-    # below can count DISTINCT matched probes per pair after the lossless
-    # distinct inside probe_index_pairs
+    # below can count DISTINCT matched probes per pair; distinct=False
+    # because (doc, token) rows are unique on both sides (array_distinct
+    # upstream) so the pair stream has no duplicates, and the count
+    # aggregation would absorb them anyway — skipping it removes a full
+    # shuffle of the widest intermediate in this operator
     cand, _ = probe_index_pairs(
         prefix.select(
             "doc_id", F.xxhash64("tok").alias("key"), "n",
@@ -391,6 +394,7 @@ def containment_pairs(
         ),
         cfg,
         payload_cols=("n", "pk"),
+        distinct=False,
     )
     # size prune FIRST (narrow rows), then the k-probe count filter: keep
     # pairs matching ≥ L_p − m_p distinct probes — only these ship token
