@@ -195,8 +195,13 @@ def drop_duplicate_segments(
         keeper = hits.groupBy("h").agg(
             F.min(F.struct("doc_id", "pos")).alias("k")
         ).select("h", F.col("k.doc_id").alias("kdoc"), F.col("k.pos").alias("kpos"))
+        # null-safe, matching the span path (corpus.py keep_first): a
+        # NULL id row's hits must not vanish through a NULL comparison
         hits = hits.join(keeper, "h").filter(
-            (F.col("doc_id") != F.col("kdoc")) | (F.col("pos") != F.col("kpos"))
+            ~(
+                F.col("doc_id").eqNullSafe(F.col("kdoc"))
+                & F.col("pos").eqNullSafe(F.col("kpos"))
+            )
         )
     drops = hits.groupBy("doc_id").agg(F.collect_list("pos").alias("drop_pos"))
     drops = drops.withColumnRenamed("doc_id", "__drop_doc_id")

@@ -126,3 +126,36 @@ def test_ceil_boundary_pair_not_lost(spark):
         for r in ngram_jaccard_pairs(df, 0.07, strategy="block").collect()
     }
     assert (1, 2) in blk
+
+
+def test_containment_prefilter_off_parity(spark):
+    # the bloom index prefilter and the vocab broadcast are scan/shuffle
+    # reductions only — prefilter="off" must produce the identical pair
+    # set on a corpus that exercises both join tiers
+    docs = with_doc_id(
+        corpus_to_spark(spark, generate_corpus(n_docs=150, seed=23))
+    ).select("doc_id", "text")
+    on = {tuple(r) for r in containment_pairs(docs, 1.0).collect()}
+    off = {
+        tuple(r)
+        for r in containment_pairs(docs, 1.0, prefilter="off").collect()
+    }
+    assert on == off and len(on) > 0
+    with pytest.raises(ValueError):
+        containment_pairs(docs, 1.0, prefilter="nope")
+
+
+def test_containment_vocab_shuffle_join_parity(spark, monkeypatch):
+    # force the web-scale branch (vocabulary over the broadcast cap → the
+    # rank join stays a shuffle join): answers must not change
+    from localitysensitivesketch_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "VOCAB_BROADCAST_MAX_ROWS", 0)
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in containment_pairs(df, 1.0).collect()}
+    assert got == _brute(rows, 1.0)

@@ -264,3 +264,22 @@ def test_gopher_filter_method_parity(spark):
         C.gopher_filter(df, **kw)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_drop_duplicate_segments_null_id_rows_still_deduped(spark):
+    # the keeper exclusion is null-safe (mirrors the span path): a NULL
+    # doc_id row's duplicate hits must not vanish through a NULL
+    # comparison — its repeated lines are still removed
+    df = spark.createDataFrame(
+        [(1, "dup line\nkeep me"), (None, "dup line\nother text")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.drop_duplicate_segments(df, mode="lines").collect()
+    }
+    # keeper = globally lowest (doc_id, pos); NULL sorts FIRST in struct
+    # min, so the NULL-id doc is the keeper and doc 1 loses the line —
+    # the null-unsafe comparison silently kept BOTH copies
+    assert rows[1] == "keep me"
+    assert rows[None] == "dup line\nother text"
