@@ -801,10 +801,20 @@ def duplicate_span_hits(
             f"prefilter must be 'auto', 'bloom' or 'off', got {prefilter!r}"
         )
     occ = sliding_window_occurrences(df, window_tokens, id_col, text_col, method)
+    # dup-ness aggregates: "≥2 distinct docs" ⟺ min(doc_id) != max(doc_id),
+    # which is a plain single-phase partial aggregation — count_distinct
+    # plans as a two-level aggregate keyed on (h, doc_id).  NULL ids match
+    # count_distinct semantics exactly: min/max ignore NULLs, and an
+    # all-NULL group compares NULL != NULL → filtered, same as
+    # count_distinct = 0 < 2.
     if scope == "docs":
-        agg = F.count_distinct(F.col("doc_id"))
+        dup_aggs = [
+            F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1")
+        ]
+        dup_cond = F.col("_d0") != F.col("_d1")
     elif scope == "occurrences":
-        agg = F.count(F.lit(1))
+        dup_aggs = [F.count(F.lit(1)).alias("_d0")]
+        dup_cond = F.col("_d0") >= 2
     else:
         raise ValueError(f"scope must be 'docs' or 'occurrences', got {scope!r}")
 
@@ -813,11 +823,9 @@ def duplicate_span_hits(
     )
     if use_bloom:
         # pass 1: dup-ness only — the narrowest possible shuffle rows
-        # ((h, doc_id) pairs after partial distinct for scope="docs",
-        # per-partition-combined (h, n) rows for "occurrences")
+        # (per-partition-combined (h, min, max) / (h, n) rows)
         dup_h = (
-            occ.groupBy("h").agg(agg.alias("n")).filter(F.col("n") >= 2)
-            .select("h")
+            occ.groupBy("h").agg(*dup_aggs).filter(dup_cond).select("h")
         )
         # two consumers (bloom agg + exact join) of an expensive agg —
         # materialize once; dup-hash rows are the SMALL side by design
@@ -857,8 +865,8 @@ def duplicate_span_hits(
 
     dup = (
         occ.groupBy("h")
-        .agg(agg.alias("n"), F.min(F.struct("doc_id", "pos")).alias("k"))
-        .filter(F.col("n") >= 2)
+        .agg(*dup_aggs, F.min(F.struct("doc_id", "pos")).alias("k"))
+        .filter(dup_cond)
         .select(
             "h", F.col("k.doc_id").alias("kdoc"), F.col("k.pos").alias("kpos")
         )
