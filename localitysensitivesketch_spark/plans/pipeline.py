@@ -115,6 +115,7 @@ class CheckpointStore:
         df: DataFrame,
         wall_sec: float | None = None,
         operation: str = "overwrite",
+        extra_wall_sec: float = 0.0,
     ) -> DataFrame:
         """Commit a stage: data + per-partition lineage + marker (last).
 
@@ -133,6 +134,10 @@ class CheckpointStore:
         materialization wall measured around the parquet write itself —
         callers used to pass ``time.time() - t0`` captured BEFORE the
         write ran, which timed lazy plan construction (~0 s), not the job.
+        ``extra_wall_sec`` is added on top for stages whose plan
+        CONSTRUCTION runs real jobs (broadcast-guard counts, bloom
+        builds in the containment/span tiers) so per-tier walls in the
+        lineage log stay honest.
         """
         d = self._stage_dir(stage)
         data_path = os.path.join(d, "data.parquet")
@@ -140,7 +145,7 @@ class CheckpointStore:
         t_write = time.time()
         df.write.mode("overwrite").parquet(staging)
         if wall_sec is None:
-            wall_sec = time.time() - t_write
+            wall_sec = time.time() - t_write + extra_wall_sec
         if os.path.exists(data_path):
             # archive the superseded version under the snapshot id that
             # produced it (a pre-snapshot-era table gets id 0)
@@ -566,7 +571,9 @@ class DedupPipeline:
         if resume and self.store.is_committed(name):
             reused.append(name)
             return self.store.read(name)
-        out = self.store.write(name, compute())
+        t0 = time.time()
+        df = compute()
+        out = self.store.write(name, df, extra_wall_sec=time.time() - t0)
         ran.append(name)
         return out
 
