@@ -50,6 +50,11 @@ SCRATCH = (
     else "/tmp/lss_funnel_bench"
 )
 
+# one shared JVM serves all task threads in local mode: 16g / 32 threads
+# starved the wide-row scans at 800k docs (observed parquet-read heap OOM
+# on the local[32] leg); children inherit this via the environment
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 
 def _run_funnel(spark, docs, store_root: str, resume: bool):
     from localitysensitivesketch_spark.plans.curation import CurationPipeline

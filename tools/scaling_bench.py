@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# local mode shares one JVM across all task threads; 16g starved the
+# 800k-doc legs (parquet-read heap OOM at local[32])
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 DATA_ROOT = "/tmp/lss_scaling_bench"
 
 

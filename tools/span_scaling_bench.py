@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scaling_bench import build_corpus  # noqa: E402  (same tools/ dir)
 
+# local mode shares one JVM across all task threads; 16g starved the
+# 800k-doc legs (parquet-read heap OOM at local[32])
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 WINDOW_TOKENS = 50  # ExactSubstr's published window (Lee et al. ACL'22)
 
 
