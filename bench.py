@@ -120,7 +120,10 @@ def main() -> None:
             "evidence_file": os.path.basename(span_ev),
         }
     # integrated all-tiers curation-funnel evidence (tools/funnel_bench.py)
-    funnel_ev = os.path.join(bench_dir, "funnel_2v8_800k_r4.json")
+    for name in ("funnel_800k_8v32_r4.json", "funnel_2v8_800k_r4.json"):
+        funnel_ev = os.path.join(bench_dir, name)
+        if os.path.exists(funnel_ev):
+            break
     if os.path.exists(funnel_ev):
         with open(funnel_ev) as f:
             fev = json.load(f)
