@@ -55,6 +55,13 @@ SCRATCH = (
 # on the local[32] leg); children inherit this via the environment
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
+# shuffle partitions are sized to the DATA, identical at every
+# parallelism level: 2*cpus gave 16 partitions at local[8] for the
+# ~300M-row span/containment shuffles (~600MB+ a partition), which
+# GC-thrashed the JVM and swung tier walls 2.5x between identical
+# runs.  AQE coalesces the small stages down from this count.
+SHUFFLE_PARTITIONS = 256
+
 
 def _run_funnel(spark, docs, store_root: str, resume: bool):
     from localitysensitivesketch_spark.plans.curation import CurationPipeline
@@ -92,7 +99,7 @@ def run_level(cpus: int, data: str, store_root: str | None = None) -> dict:
     spark = get_spark(
         app_name=f"funnel-bench-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=SHUFFLE_PARTITIONS,
     )
     docs = spark.read.parquet(data).drop("kind")
     n_docs = docs.count()
@@ -161,7 +168,7 @@ def resume_drill(cpus: int, data: str, kill_after_stages: int) -> dict:
     spark = get_spark(
         app_name=f"funnel-resume-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=SHUFFLE_PARTITIONS,
     )
     docs = spark.read.parquet(data).drop("kind")
     t0 = time.time()
@@ -218,7 +225,7 @@ def main() -> None:
             spark = get_spark(
                 app_name=f"funnel-bench-{args.cpus}",
                 master=f"local[{args.cpus}]",
-                shuffle_partitions=max(2 * args.cpus, 8),
+                shuffle_partitions=SHUFFLE_PARTITIONS,
             )
             docs = spark.read.parquet(args.data).drop("kind")
             _run_funnel(spark, docs, store, resume=False)

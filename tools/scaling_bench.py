@@ -72,7 +72,7 @@ def run_level(cpus: int, data: str) -> dict:
     cfg = SketchConfig()
     spark = get_spark(
         app_name=f"lss-scaling-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=256,  # data-sized, identical at every level (AQE coalesces)
     )
     docs = spark.read.parquet(data)
     n_docs = docs.count()
