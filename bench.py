@@ -120,7 +120,11 @@ def main() -> None:
             "evidence_file": os.path.basename(span_ev),
         }
     # integrated all-tiers curation-funnel evidence (tools/funnel_bench.py)
-    for name in ("funnel_800k_8v32_r4.json", "funnel_2v8_800k_r4.json"):
+    for name in (
+        "funnel_800k_4v16_256part_r4.json",
+        "funnel_800k_8v32_r4.json",
+        "funnel_2v8_800k_r4.json",
+    ):
         funnel_ev = os.path.join(bench_dir, name)
         if os.path.exists(funnel_ev):
             break
@@ -136,6 +140,11 @@ def main() -> None:
                 c: fev["levels"][c]["docs_per_sec"] for c in fev["levels"]
             },
             "evidence_file": os.path.basename(funnel_ev),
+            # full 8v32 attempt record spans 0.46 (identical 256-partition
+            # plans) to 0.79 (per-level 2*cpus plans); see the
+            # measurement-integrity note in BENCH/BASELINE.md
+            "efficiency_range_8v32": [0.46, 0.79],
+            "identical_plan_rerun": "raw_r4/funnel_800k_8v32_256part_rerun.json",
         }
 
     total = round(sum(timings.values()), 3)
