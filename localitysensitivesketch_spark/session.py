@@ -2,9 +2,43 @@
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
+
+
+def recommended_shuffle_partitions(
+    total_bytes: int,
+    *,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    parallelism: int | None = None,
+) -> int:
+    """Data-sized shuffle partition count for a job of ``total_bytes``.
+
+    Size shuffle partitions to the DATA, identically at every cluster
+    size, and let AQE coalesce small stages at runtime.  Both failure
+    modes were measured on the 800k-doc funnel bench
+    (BENCH/BASELINE.md, round 4):
+
+    - too few: ``2*cpus`` gave 16 partitions at local[8] for a ~7 GB
+      span shuffle (~600 MB a partition) and GC-thrashed the JVM —
+      identical runs swung tier walls 2.5x;
+    - too many: 256 partitions at local[32] doubled the same tier's
+      wall vs 64 — more, smaller shuffle blocks cost more fetch/serve
+      overhead per byte.
+
+    Policy: ``ceil(total / target)`` partitions at ~128 MB each
+    (Spark's default ``maxPartitionBytes``, the sweet spot between the
+    two failure modes), floored at 2x the scheduling parallelism when
+    known so every core gets work on small inputs.
+    """
+    if total_bytes < 0:
+        raise ValueError(f"total_bytes must be >= 0, got {total_bytes}")
+    n = max(1, math.ceil(total_bytes / target_partition_bytes))
+    if parallelism:
+        n = max(n, 2 * parallelism)
+    return n
 
 
 def get_spark(

@@ -169,3 +169,23 @@ def test_hyperplanes_match_pure_python_oracle():
     bits = (np.array([vec]) @ prod) > 0
     bucket_np = int(sum(1 << j for j in range(n_bits) if bits[0, j]))
     assert bucket_np == oracle_hyperplane_bucket(vec, orac)
+
+
+def test_recommended_shuffle_partitions_policy():
+    from localitysensitivesketch_spark.session import (
+        recommended_shuffle_partitions as rsp,
+    )
+
+    mb = 1024 * 1024
+    # ~7 GB span shuffle (the measured 800k funnel case): ~56 partitions
+    # of ~128 MB — between the two measured failure modes (16 and 256)
+    assert 50 <= rsp(7 * 1024 * mb) <= 64
+    # small input still feeds every core when parallelism is known
+    assert rsp(10 * mb, parallelism=32) == 64
+    # empty/tiny input never returns zero
+    assert rsp(0) == 1
+    # scale check: 100 TB at 128 MB target is ~800k partitions — the
+    # count a real cluster job would use, independent of executor count
+    assert rsp(100 * 1024**4) == 819200
+    with pytest.raises(ValueError):
+        rsp(-1)
