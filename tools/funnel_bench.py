@@ -60,7 +60,9 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 # ~300M-row span/containment shuffles (~600MB+ a partition), which
 # GC-thrashed the JVM and swung tier walls 2.5x between identical
 # runs.  AQE coalesces the small stages down from this count.
-SHUFFLE_PARTITIONS = 256
+# Overridable to measure the sizing policy itself (see
+# localitysensitivesketch_spark.session.recommended_shuffle_partitions).
+SHUFFLE_PARTITIONS = int(os.environ.get("FUNNEL_SHUFFLE_PARTITIONS", "256"))
 
 
 def _run_funnel(spark, docs, store_root: str, resume: bool):
