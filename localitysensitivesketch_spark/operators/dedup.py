@@ -68,17 +68,27 @@ def exact_dup_groups(
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Keep exactly one doc (min id) per distinct text — the classic
     training-data exact-dedup pass.  Aggregate-then-semi-join: the wide doc
-    payload is never shuffled, only (id, md5)."""
+    payload is never shuffled, only (id, md5).
+
+    ``ids_only=True`` returns just the single-column keep-list
+    ``(doc_id)`` without the semi-join back to the wide rows — the shape
+    a checkpointing funnel commits (a keep-list is ~16 bytes/doc where
+    the wide row is the whole page)."""
     keep = (
         df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    if ids_only:
+        return keep
     return df.join(keep, on=df[id_col] == keep["doc_id"], how="left_semi")
 
 

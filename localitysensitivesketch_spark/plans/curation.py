@@ -30,7 +30,11 @@ tiers and the state is the committed stage tables.
 Scale notes: each tier only ever shuffles ids/hashes (the wide
 ``html``/``text`` payload moves once, in the final left-semi join that
 materializes survivors); the near-dup tier inherits the spine's
-salted/capped band joins and doc-parallel verify.
+salted/capped band joins and doc-parallel verify.  With the default
+``stage_format="narrow"`` the store WRITES are narrow too: the page
+payload is committed once (``captures``) and every later tier commits a
+keep-list (span tier: affected rows only), so total funnel write IO is
+~1× corpus bytes instead of ~5× — see ``CurationPipeline.run``.
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
-from ..operators.corpus import gopher_filter, remove_duplicate_spans
+from ..operators.corpus import _tokens, gopher_filter, remove_duplicate_spans
 from ..operators.dedup import containment_pairs, exact_dedup, latest_capture
 from ..operators.signatures import with_doc_id
 from ..operators.urls import normalize_urls
@@ -135,6 +139,7 @@ class CurationPipeline:
         containment_threshold: float | None = None,
         exactsubstr_window: int | None = None,
         exactsubstr_min_remaining: int = 0,
+        stage_format: str = "narrow",
     ) -> CurationResult:
         """``canonicalize=True`` collapses cosmetic url variants
         (case/port/fragment/slash/query-order — ``operators/urls.py``)
@@ -142,7 +147,41 @@ class CurationPipeline:
         by ``canonical_url``, so two crawls of ``http://A.com/p`` and
         ``http://a.com:80/p/`` count as one page.  Off by default — with
         it on, the per-url byte-identity invariant is keyed by canonical
-        url."""
+        url.
+
+        ``stage_format`` — what the filter tiers COMMIT to the store:
+
+        * ``"narrow"`` (default): the wide page payload (``html`` +
+          ``text``) is written exactly once, at the ``captures`` stage.
+          Every later tier commits only its keep-list ``(doc_id)`` (the
+          span tier: only the AFFECTED docs' ``(doc_id, spans,
+          clean_text, tokens_removed, kept)`` rows), and the wide view
+          each downstream tier consumes is reconstructed lazily as a
+          ``left_semi`` join against ``captures`` — AQE turns it into a
+          broadcast when the list is small; at cluster scale the
+          bucketed-store path (`sources/bucketed_store.py`) makes it
+          exchange-free.  At 100 TB this is the only viable shape: the
+          wide format rewrites the corpus through the store once per
+          tier (~5× corpus bytes of write IO for the full funnel), a
+          keep-list is ~16 bytes/doc.
+        * ``"wide"``: round-3 behavior — every tier commits its full
+          surviving rows.  Stage keys are unchanged from round 3, so
+          existing checkpoints resume; reads of a committed tier need no
+          reconstruction join.
+
+        Both formats produce identical CurationResult contents (the
+        result fields are always the wide views) and identical funnel
+        audits; the narrow span view reproduces ``clean_text``
+        byte-identically, including the whitespace normalization
+        ``remove_duplicate_spans`` applies to unaffected docs."""
+        if stage_format not in ("narrow", "wide"):
+            raise ValueError(
+                f"stage_format must be 'narrow' or 'wide', got {stage_format!r}"
+            )
+        narrow = stage_format == "narrow"
+        # narrow commits are re-keyed so resume never hands a keep-list
+        # to a reader expecting round-3 wide rows (or vice versa)
+        fmt = {"fmt": "ids"} if narrow else {}
         ran: list[str] = []
         reused: list[str] = []
 
@@ -162,13 +201,21 @@ class CurationPipeline:
                  "canonicalize": canonicalize}
         k_cap = _qualify("captures", p_cap)
         captures = self._stage(k_cap, _captures, resume, ran, reused, deps=[])
-        p_exact = {"text_col": text_col, "in": k_cap}
+        p_exact = {"text_col": text_col, "in": k_cap, **fmt}
         k_exact = _qualify("exact_kept", p_exact)
-        exact_kept = self._stage(
-            k_exact,
-            lambda: exact_dedup(captures, text_col=text_col),
-            resume, ran, reused, deps=[k_cap],
-        )
+        if narrow:
+            exact_ids = self._stage(
+                k_exact,
+                lambda: exact_dedup(captures, text_col=text_col, ids_only=True),
+                resume, ran, reused, deps=[k_cap],
+            )
+            exact_kept = captures.join(exact_ids, "doc_id", "left_semi")
+        else:
+            exact_kept = self._stage(
+                k_exact,
+                lambda: exact_dedup(captures, text_col=text_col),
+                resume, ran, reused, deps=[k_cap],
+            )
         p_quality = {"text_col": text_col, "gopher": self.gopher_kwargs,
                      "in": k_exact}
         k_quality = _qualify("quality", p_quality)
@@ -198,20 +245,33 @@ class CurationPipeline:
         reused += near.stages_resumed
         k_surv = _qualify(
             "survivors",
-            {"text_col": text_col, "in": [k_quality, dedup_sfx]},
+            {"text_col": text_col, "in": [k_quality, dedup_sfx], **fmt},
         )
-        survivors = self._stage(
-            k_surv,
-            lambda: passed.join(
-                near.clusters.filter(
+        if narrow:
+            # clusters covers exactly the docs in `passed`, so the
+            # canonical-label filter alone IS the keep-list — no join
+            surv_ids = self._stage(
+                k_surv,
+                lambda: near.clusters.filter(
                     F.col("doc_id") == F.col("cluster_id")
                 ).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            ),
-            resume, ran, reused,
-            deps=[k_quality, "clusters" + dedup_sfx],
-        )
+                resume, ran, reused,
+                deps=[k_quality, "clusters" + dedup_sfx],
+            )
+            survivors = captures.join(surv_ids, "doc_id", "left_semi")
+        else:
+            survivors = self._stage(
+                k_surv,
+                lambda: passed.join(
+                    near.clusters.filter(
+                        F.col("doc_id") == F.col("cluster_id")
+                    ).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                ),
+                resume, ran, reused,
+                deps=[k_quality, "clusters" + dedup_sfx],
+            )
         tiers = [
             ("latest_capture", captures),
             ("exact_dedup", exact_kept),
@@ -222,7 +282,7 @@ class CurationPipeline:
         if containment_threshold is not None:
             t = float(containment_threshold)
 
-            def _containment_kept():
+            def _containment_dropped():
                 # asymmetric tier the symmetric near-dup pass cannot see:
                 # drop a survivor whose token set is ≥t contained in a
                 # STRICTLY larger surviving doc (ties broken by min
@@ -248,7 +308,7 @@ class CurationPipeline:
                     F.col("doc_id").alias("id_container"),
                     F.col("n_toks").alias("n_b"),
                 )
-                dropped = (
+                return (
                     pairs.join(na, "id_contained")
                     .join(nb, "id_container")
                     .filter(
@@ -261,15 +321,28 @@ class CurationPipeline:
                     .select(F.col("id_contained").alias("doc_id"))
                     .distinct()
                 )
-                return survivors.join(dropped, "doc_id", "left_anti")
 
             k_cont = _qualify(
                 "containment_kept",
-                {"text_col": text_col, "threshold": t, "in": k_surv},
+                {"text_col": text_col, "threshold": t, "in": k_surv, **fmt},
             )
-            survivors = self._stage(
-                k_cont, _containment_kept, resume, ran, reused, deps=[k_surv]
-            )
+            if narrow:
+                cont_ids = self._stage(
+                    k_cont,
+                    lambda: survivors.select("doc_id").join(
+                        _containment_dropped(), "doc_id", "left_anti"
+                    ),
+                    resume, ran, reused, deps=[k_surv],
+                )
+                survivors = captures.join(cont_ids, "doc_id", "left_semi")
+            else:
+                survivors = self._stage(
+                    k_cont,
+                    lambda: survivors.join(
+                        _containment_dropped(), "doc_id", "left_anti"
+                    ),
+                    resume, ran, reused, deps=[k_surv],
+                )
             k_prev = k_cont
             tiers.append(("containment", survivors))
         if exactsubstr_window is not None:
@@ -290,20 +363,69 @@ class CurationPipeline:
                     survivors, window_tokens=w, text_col=text_col
                 )
                 if min_rem > 0:
-                    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    n = F.size(_tokens(text_col))
                     cleaned = cleaned.filter(
                         (n - F.col("tokens_removed")) >= min_rem
                     )
                 return cleaned
 
+            def _span_affected():
+                # narrow commit: only docs the cut actually touched —
+                # on real web corpora the overwhelming minority — plus
+                # any untouched doc the min_remaining rule drops (it
+                # drops short docs even with zero spans cut, so the view
+                # needs their kept=false rows too).  `kept` records the
+                # verdict so the view never recomputes it.
+                cleaned = remove_duplicate_spans(
+                    survivors, window_tokens=w, text_col=text_col
+                )
+                n = F.size(_tokens(text_col))
+                kept = (
+                    F.lit(True) if min_rem <= 0
+                    else ((n - F.col("tokens_removed")) >= min_rem)
+                )
+                return cleaned.filter(
+                    (F.col("tokens_removed") > 0) | ~kept
+                ).select(
+                    "doc_id", "spans", "clean_text", "tokens_removed",
+                    kept.alias("kept"),
+                )
+
             k_span = _qualify(
                 "span_cleaned",
                 {"text_col": text_col, "window": w,
-                 "min_remaining": min_rem, "in": k_prev},
+                 "min_remaining": min_rem, "in": k_prev, **fmt},
             )
-            survivors = self._stage(
-                k_span, _span_cleaned, resume, ran, reused, deps=[k_prev]
-            )
+            if narrow:
+                affected = self._stage(
+                    k_span, _span_affected, resume, ran, reused,
+                    deps=[k_prev],
+                )
+                prev_cols = survivors.columns
+                joined = survivors.join(affected, "doc_id", "left").filter(
+                    F.coalesce(F.col("kept"), F.lit(True))
+                )
+                # unaffected docs still get the tokenizer's whitespace
+                # normalization in clean_text, byte-identical to the
+                # wide path's array_join over _tokens
+                survivors = joined.select(
+                    *[F.col(c) for c in prev_cols],
+                    F.coalesce(
+                        F.col("spans"),
+                        F.array().cast("array<struct<start:int,end:int>>"),
+                    ).alias("spans"),
+                    F.coalesce(
+                        F.col("clean_text"),
+                        F.array_join(_tokens(text_col), " "),
+                    ).alias("clean_text"),
+                    F.coalesce(
+                        F.col("tokens_removed"), F.lit(0).cast("long")
+                    ).alias("tokens_removed"),
+                )
+            else:
+                survivors = self._stage(
+                    k_span, _span_cleaned, resume, ran, reused, deps=[k_prev]
+                )
             k_prev = k_span
             tiers.append(("exactsubstr", survivors))
         funnel = self._stage(

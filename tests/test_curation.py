@@ -401,3 +401,88 @@ def test_incremental_update_invalidates_downstream_curation_stages(
     assert _has(res2.stages_run, "funnel")
     assert _has(res2.stages_resumed, "captures")  # gates untouched by merge
     assert res2.survivors.count() == n_surv_before
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_narrow_and_wide_stage_formats_produce_identical_results(
+    spark, tmp_path
+):
+    """stage_format='narrow' (keep-list commits) and 'wide' (round-3
+    full-row commits) must agree on every output row — including the
+    span tier's clean_text/spans/tokens_removed and the funnel audit —
+    while the narrow store writes a fraction of the bytes (the page
+    payload is committed once instead of once per tier)."""
+    raw, _ = _raw(spark)
+    # messy whitespace doc: exercises the clean_text normalization the
+    # narrow view must reproduce for UNAFFECTED docs
+    from datetime import datetime as _dt
+
+    messy = spark.createDataFrame(
+        [Row(url="http://messy.example/1", warc_ts=_dt(2024, 1, 1),
+             html=b"<m>", text="alpha  beta\tgamma\n delta " * 3 + "end",
+             lang="en")],
+        raw.schema,
+    )
+    raw = raw.unionByName(messy)
+    kw = dict(containment_threshold=0.9, exactsubstr_window=5,
+              exactsubstr_min_remaining=2)
+
+    roots = {}
+    results = {}
+    for fmt in ("narrow", "wide"):
+        root = str(tmp_path / f"cur_{fmt}")
+        roots[fmt] = root
+        pipe = CurationPipeline(spark, root, gopher_kwargs=GOPHER)
+        results[fmt] = pipe.run(raw, stage_format=fmt, **kw)
+
+    n, w = results["narrow"], results["wide"]
+    assert n.survivors.columns == w.survivors.columns
+
+    def rows(df):
+        return sorted(
+            (r["url"], r["text"], r["clean_text"], r["tokens_removed"],
+             tuple((s["start"], s["end"]) for s in r["spans"]))
+            for r in df.survivors.collect()
+        )
+
+    assert rows(n) == rows(w)
+    assert sorted(map(tuple, n.funnel.collect())) == sorted(
+        map(tuple, w.funnel.collect())
+    )
+    # the whole point: narrow writes materially fewer bytes
+    nb, wb = _dir_bytes(roots["narrow"]), _dir_bytes(roots["wide"])
+    assert nb < wb, (nb, wb)
+
+    # narrow resumes from its own keep-list commits
+    again = CurationPipeline(
+        spark, roots["narrow"], gopher_kwargs=GOPHER
+    ).run(raw, stage_format="narrow", **kw)
+    assert not again.stages_run, again.stages_run
+    assert rows(again) == rows(w)
+
+
+def test_narrow_and_wide_stage_keys_never_collide(spark, tmp_path):
+    """Switching stage_format on the same store root must recompute the
+    re-formatted tiers (keys carry fmt), never hand a keep-list to a
+    reader expecting wide rows."""
+    raw, _ = _raw(spark)
+    root = str(tmp_path / "cur_fmt_switch")
+    pipe = CurationPipeline(spark, root, gopher_kwargs=GOPHER)
+    r_wide = pipe.run(raw, stage_format="wide")
+    r_narrow = pipe.run(raw, stage_format="narrow")
+    # captures (format-independent) is reused; the re-formatted tiers run
+    assert _has(r_narrow.stages_resumed, "captures")
+    assert _has(r_narrow.stages_run, "exact_kept")
+    assert _has(r_narrow.stages_run, "survivors")
+    a = sorted(map(tuple, r_wide.survivors.select("url", "text").collect()))
+    b = sorted(map(tuple, r_narrow.survivors.select("url", "text").collect()))
+    assert a == b
