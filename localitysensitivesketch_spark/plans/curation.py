@@ -226,7 +226,11 @@ class CurationPipeline:
             ),
             resume, ran, reused, deps=[k_exact],
         )
-        passed = exact_kept.join(
+        # quality was computed over the exact-kept view, so its keep-set
+        # is already ⊆ the exact keep-set — in narrow mode join it
+        # straight against `captures` (ONE reconstruction semi-join for
+        # the near-dup spine's input instead of two stacked ones)
+        passed = (captures if narrow else exact_kept).join(
             quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
         )
         # the embedded near-dup spine inherits the upstream lineage hash:
