@@ -486,3 +486,65 @@ def test_narrow_and_wide_stage_keys_never_collide(spark, tmp_path):
     a = sorted(map(tuple, r_wide.survivors.select("url", "text").collect()))
     b = sorted(map(tuple, r_narrow.survivors.select("url", "text").collect()))
     assert a == b
+
+
+def test_narrow_wide_parity_with_null_and_empty_text(spark, tmp_path):
+    """Null-/empty-/whitespace-text rows that survive a permissive
+    quality gate must flow through the narrow span-tier view exactly as
+    through the wide path (the narrow view rebuilds clean_text for
+    unaffected docs with a replica expression — nulls must agree)."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType, TimestampType,
+    )
+
+    raw, _ = _raw(spark)
+    nullable_schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampType(), False),
+            StructField("html", BinaryType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    oddballs = spark.createDataFrame(
+        [
+            Row(url="http://odd.example/null", warc_ts=_dt(2024, 1, 1),
+                html=b"", text=None, lang="en"),
+            Row(url="http://odd.example/empty", warc_ts=_dt(2024, 1, 1),
+                html=b"", text="", lang="en"),
+            Row(url="http://odd.example/ws", warc_ts=_dt(2024, 1, 1),
+                html=b"", text="  \t \n ", lang="en"),
+        ],
+        nullable_schema,
+    )
+    raw = raw.unionByName(oddballs)
+    # min_tokens=0: the permissive gate lets the oddballs reach the
+    # span tier, which is exactly the hazard under test
+    gopher = dict(min_tokens=0, min_stopword_ratio=0.0,
+                  min_chars_per_token=0.0, max_chars_per_token=1e9)
+
+    results = {}
+    for fmt in ("narrow", "wide"):
+        pipe = CurationPipeline(
+            spark, str(tmp_path / f"odd_{fmt}"), gopher_kwargs=gopher
+        )
+        results[fmt] = pipe.run(
+            raw, stage_format=fmt, exactsubstr_window=5
+        )
+
+    def rows(res):
+        return sorted(
+            (r["url"], r["text"], r["clean_text"], r["tokens_removed"],
+             tuple((s["start"], s["end"]) for s in r["spans"]))
+            for r in res.survivors.collect()
+        )
+
+    n, w = rows(results["narrow"]), rows(results["wide"])
+    assert n == w
+    # the oddballs actually made it through (the test is vacuous if the
+    # gate dropped them)
+    urls = {r[0] for r in n}
+    assert "http://odd.example/null" in urls or "http://odd.example/empty" in urls
