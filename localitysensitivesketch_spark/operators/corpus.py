@@ -607,9 +607,10 @@ def sliding_window_occurrences(
     ``method="arrow"`` (default): Arrow-batched ``mapInPandas``.  Each
     distinct token is hashed ONCE (blake2b-128, memoized per batch), then
     every window hash is a pair of independent polynomial rolling hashes
-    over the token ids, vectorized in numpy with natural uint64
-    wraparound — O(n) token hashes + O(n·w) word-ops per doc instead of
-    O(n·w) string building + O(n) md5 calls.  Measured ~40× the
+    over the token ids, evaluated via modular-inverse prefix sums in
+    numpy with natural uint64 wraparound — O(n) token hashes + O(n)
+    word-ops per doc instead of O(n·w) string building + O(n) md5
+    calls.  Measured ~40× the
     ``method="sql"`` scan (Spark evaluates higher-order-function lambdas
     interpreted, per element — the per-window ``slice``+``array_join``+
     ``md5`` costs ~90 µs/window; same pitfall as row-Python UDFs but
@@ -676,17 +677,40 @@ def sliding_window_occurrences(
                 cache[tok] = v
             return v
 
-        # two independent odd bases; B^(w-1-j) weight vectors, built with
-        # python ints mod 2^64 (numpy SCALAR uint64 multiply warns on
-        # overflow; array ops below wrap silently, which is what we want)
+        # two independent odd bases.  h_i = Σ_j a_{i+j}·B^{w-1-j} is
+        # evaluated in O(1) per window via prefix sums instead of the
+        # O(w) sliding dot product: B odd ⇒ invertible mod 2^64, so
+        # h_i = B^{w-1}·B^i·(P_{i+w} − P_i) with P_k = Σ_{u<k} a_u·Binv^u
+        # — algebraically identical mod 2^64, so the hash BYTES are
+        # bit-for-bit what the dot product produced (same trick as
+        # ``functions/hashing.rolling_window_hashes``; measured 5.5× on
+        # the w=50 hash arithmetic).  Power vectors are cached across
+        # docs, grown by doubling to the longest doc the task has seen.
         B1, B2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
-        pw1 = np.array(
-            [pow(B1, w - 1 - j, 1 << 64) for j in range(w)], dtype=np.uint64
-        )
-        pw2 = np.array(
-            [pow(B2, w - 1 - j, 1 << 64) for j in range(w)], dtype=np.uint64
-        )
-        swv = np.lib.stride_tricks.sliding_window_view
+        I1, I2 = pow(B1, -1, 1 << 64), pow(B2, -1, 1 << 64)
+        PL1 = np.uint64(pow(B1, w - 1, 1 << 64))
+        PL2 = np.uint64(pow(B2, w - 1, 1 << 64))
+        _pows: list[np.ndarray] = []
+
+        def powers(n: int) -> list[np.ndarray]:
+            # [B1^k, Binv1^k, B2^k, Binv2^k] for k < n (each ≥ n long)
+            if not _pows or len(_pows[0]) < n:
+                cap = max(n, 2 * (len(_pows[0]) if _pows else 1024))
+                _pows.clear()
+                for base in (B1, I1, B2, I2):
+                    p = np.empty(cap, dtype=np.uint64)
+                    p[0] = 1
+                    np.multiply.accumulate(
+                        np.full(cap - 1, base, dtype=np.uint64), out=p[1:]
+                    )
+                    _pows.append(p)
+            return _pows
+
+        def win_hashes(col: np.ndarray, inv: np.ndarray, bp: np.ndarray,
+                       pl: np.uint64, n: int, m: int) -> np.ndarray:
+            P = np.zeros(n + 1, dtype=np.uint64)
+            np.add.accumulate(col * inv[:n], out=P[1:])
+            return (P[w:] - P[:m]) * bp[:m] * pl
 
         for pdf in batches:
             # dtype dispatch: integer ids keep the fully-vectorized
@@ -707,8 +731,10 @@ def sliding_window_occurrences(
                 ids = [tok_ids(t) for t in toks]
                 a = np.array(ids, dtype=np.uint64)  # (n, 2)
                 m = n - w + 1
-                h1 = (swv(a[:, 0], w) * pw1).sum(axis=1, dtype=np.uint64)
-                h2 = (swv(a[:, 1], w) * pw2).sum(axis=1, dtype=np.uint64)
+                b1p, i1p, b2p, i2p = powers(n)
+                with np.errstate(over="ignore"):
+                    h1 = win_hashes(a[:, 0], i1p, b1p, PL1, n, m)
+                    h2 = win_hashes(a[:, 1], i2p, b2p, PL2, n, m)
                 buf = np.empty((m, 16), dtype=np.uint8)
                 buf[:, :8] = h1.astype(">u8").view(np.uint8).reshape(m, 8)
                 buf[:, 8:] = h2.astype(">u8").view(np.uint8).reshape(m, 8)
