@@ -657,25 +657,35 @@ def sliding_window_occurrences(
         import numpy as np
         import pandas as pd
 
-        # memoized token -> (id1, id2): one blake2b-128 per DISTINCT
-        # token.  The memo lives for the task (all its batches) but is
-        # BOUNDED: a partition holding a huge open vocabulary would
-        # otherwise grow the dict without limit inside the Python worker
-        # (the clear costs one re-hash per surviving token, nothing else).
-        cache: dict[str, tuple[int, int]] = {}
+        # memoized token -> row index into a growable (cap, 2) uint64 id
+        # array: one blake2b-128 per DISTINCT token, and the per-doc id
+        # matrix is a single fancy-index GATHER instead of
+        # np.array(list-of-tuples) (which iterates Python tuples —
+        # profiled ~300 µs/doc at 384 tokens, the scan's hottest line).
+        # dict.__missing__ keeps cache hits a single C-level dict access.
+        # The memo lives for the task (all its batches) but is BOUNDED:
+        # the dict is cleared between docs past 1 M entries (the id rows
+        # already handed out stay valid — the buffer only ever appends
+        # within a doc; after a clear new tokens reuse rows from 0).
+        ids_buf = [np.empty((8192, 2), dtype=np.uint64)]
+        n_ids = [0]
 
-        def tok_ids(tok: str) -> tuple[int, int]:
-            v = cache.get(tok)
-            if v is None:
-                if len(cache) >= 1_000_000:
-                    cache.clear()
+        class _Memo(dict):
+            def __missing__(self, tok: str) -> int:
+                i = n_ids[0]
+                buf = ids_buf[0]
+                if i >= len(buf):
+                    nb = np.empty((2 * len(buf), 2), dtype=np.uint64)
+                    nb[:i] = buf
+                    ids_buf[0] = buf = nb
                 d = hashlib.blake2b(tok.encode(), digest_size=16).digest()
-                v = (
-                    int.from_bytes(d[:8], "big"),
-                    int.from_bytes(d[8:], "big"),
-                )
-                cache[tok] = v
-            return v
+                buf[i, 0] = int.from_bytes(d[:8], "big")
+                buf[i, 1] = int.from_bytes(d[8:], "big")
+                n_ids[0] = i + 1
+                self[tok] = i
+                return i
+
+        cache = _Memo()
 
         # two independent odd bases.  h_i = Σ_j a_{i+j}·B^{w-1-j} is
         # evaluated in O(1) per window via prefix sums instead of the
@@ -728,8 +738,13 @@ def sliding_window_occurrences(
                 n = len(toks)
                 if n < w:
                     continue
-                ids = [tok_ids(t) for t in toks]
-                a = np.array(ids, dtype=np.uint64)  # (n, 2)
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                    n_ids[0] = 0
+                # NB: build idx BEFORE reading ids_buf[0] — a cache miss
+                # inside the comprehension can reallocate the buffer
+                idx = np.array([cache[t] for t in toks], dtype=np.int64)
+                a = ids_buf[0][idx]  # (n, 2) gather
                 m = n - w + 1
                 b1p, i1p, b2p, i2p = powers(n)
                 with np.errstate(over="ignore"):

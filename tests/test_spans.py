@@ -280,3 +280,30 @@ def test_span_hits_prefilter_parity_and_plan(spark):
         hits = duplicate_span_hits(docs, window_tokens=5, prefilter="bloom")
         plan = hits._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan
+
+
+def test_arrow_scan_survives_memo_buffer_growth(spark):
+    """The arrow scan's token-id memo starts at an 8192-row buffer and
+    grows by doubling; a task whose vocabulary crosses that boundary
+    MID-DOC must keep indexing the re-grown buffer (regression: the
+    gather once read the pre-growth array — IndexError at index 8192).
+    One partition forces every doc through the same Python worker/memo."""
+    w = 3
+    n_vocab = 20_000  # > 2 growth steps past 8192
+    # one long doc crossing the boundary mid-doc, plus a planted dup pair
+    long_doc = " ".join(f"v{i}" for i in range(n_vocab))
+    dup_run = "shared alpha beta gamma delta"
+    docs = [
+        (0, long_doc),
+        (1, f"left pad {dup_run} one"),
+        (2, f"{dup_run} other trailing words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    occ = sliding_window_occurrences(df, w, method="arrow")
+    # every window of every doc present, and the planted dup is found
+    counts = {r["doc_id"]: r["n"] for r in
+              occ.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: n_vocab - w + 1, 1: 6, 2: 6}
+    hits = duplicate_span_hits(df, w, scope="docs", keep_first=False)
+    got = {(r["doc_id"], r["pos"]) for r in hits.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 0), (2, 1), (2, 2)}
