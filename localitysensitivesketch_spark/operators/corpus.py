@@ -979,8 +979,8 @@ def remove_duplicate_spans(
     ``clean_text`` (tokens outside every span, space-joined), and
     ``tokens_removed``.  The raw ``text_col`` is untouched (input_hint
     invariant).  Only (doc_id, pos) hit rows and the per-doc span arrays
-    cross the wire — the cut itself is an index-filtered rebuild in the
-    document's scan stage.
+    cross the wire — the cut itself is a gap-slice rebuild (one native
+    slice per gap between spans) in the document's scan stage.
     """
     hits = duplicate_span_hits(
         df, window_tokens, scope, keep_first, id_col, text_col, method,
