@@ -148,6 +148,11 @@ def main() -> None:
             # BENCH/raw_r4/funnel_800k_*.json
             "matched_pair_efficiencies_8v32": [0.79, 0.37, 0.32, 0.46, 0.35],
             "matched_pair_efficiencies_4v16": [0.77, 0.63],
+            # narrow stage format (library default): forward, reversed,
+            # and final-HEAD interleaved pairs —
+            # BENCH/funnel_800k_8v32_narrow{,_rev,_head}_r4.json
+            "matched_pair_efficiencies_8v32_narrow": [0.585, 0.37, 0.483],
+            "matched_pair_efficiencies_4v16_narrow": [0.64],
             "note": "scalar is the best pair; see matched-pair record + BENCH/BASELINE.md integrity note",
         }
     # narrow-vs-wide stage-format A/B (store-write IO vs wall, matched
