@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bloom import bloom_build, bloom_supported, might_contain
+from ..session import AUTO_PREFILTER_MIN_BYTES, estimated_plan_bytes
 
 
 def _tokens(text_col: str) -> Column:
@@ -701,19 +702,34 @@ def sliding_window_occurrences(
         PL1 = np.uint64(pow(B1, w - 1, 1 << 64))
         PL2 = np.uint64(pow(B2, w - 1, 1 << 64))
         _pows: list[np.ndarray] = []
+        # cached power vectors are 4 × 8 B/token; without a ceiling one
+        # pathological multi-million-token doc would pin its full-length
+        # vectors in every long-lived worker that saw it.  Docs longer
+        # than the cap get transient vectors (built, used, dropped) so
+        # the resident cache stays ≤ 32 MB.
+        _POW_CACHE_CAP = 1_000_000
+
+        def _build_pows(cap: int) -> list[np.ndarray]:
+            out = []
+            for base in (B1, I1, B2, I2):
+                p = np.empty(cap, dtype=np.uint64)
+                p[0] = 1
+                np.multiply.accumulate(
+                    np.full(cap - 1, base, dtype=np.uint64), out=p[1:]
+                )
+                out.append(p)
+            return out
 
         def powers(n: int) -> list[np.ndarray]:
             # [B1^k, Binv1^k, B2^k, Binv2^k] for k < n (each ≥ n long)
+            if n > _POW_CACHE_CAP:
+                return _build_pows(n)  # transient — never cached
             if not _pows or len(_pows[0]) < n:
-                cap = max(n, 2 * (len(_pows[0]) if _pows else 1024))
-                _pows.clear()
-                for base in (B1, I1, B2, I2):
-                    p = np.empty(cap, dtype=np.uint64)
-                    p[0] = 1
-                    np.multiply.accumulate(
-                        np.full(cap - 1, base, dtype=np.uint64), out=p[1:]
-                    )
-                    _pows.append(p)
+                cap = min(
+                    _POW_CACHE_CAP,
+                    max(n, 2 * (len(_pows[0]) if _pows else 1024)),
+                )
+                _pows[:] = _build_pows(cap)
             return _pows
 
         def win_hashes(col: np.ndarray, inv: np.ndarray, bp: np.ndarray,
@@ -859,6 +875,15 @@ def duplicate_span_hits(
     else:
         raise ValueError(f"scope must be 'docs' or 'occurrences', got {scope!r}")
 
+    # "auto" takes the bloom plan only past a corpus-size floor: on tiny
+    # inputs the filter's fixed extra stages cost ~4× the whole query for
+    # zero shuffle saved (r4: 0.55 s → 2.2 s at 5k docs), while at 200k
+    # docs it cut shuffle writes 47%.  Unknown size ⇒ assume large (the
+    # scale path must stay on by default).  "bloom" forces it regardless.
+    if prefilter == "auto":
+        est = estimated_plan_bytes(df)
+        if est is not None and est < AUTO_PREFILTER_MIN_BYTES:
+            prefilter = "off"
     use_bloom = prefilter in ("auto", "bloom") and bloom_supported(
         df.sparkSession
     )
@@ -1009,8 +1034,13 @@ def remove_duplicate_spans(
     # per row (__toks) — referencing the split() expression from inside
     # the slice lambda re-evaluates it per gap (measured 1.4× slower
     # than the filter form it replaces)
-    out = out.withColumn("__toks", _tokens(text_col))
-    toks = F.col("__toks")
+    # collision-checked temp name — an input that already carries a
+    # __toks column must not be silently overwritten and dropped
+    toks_col = "__toks"
+    while toks_col in out.columns:
+        toks_col += "_"
+    out = out.withColumn(toks_col, _tokens(text_col))
+    toks = F.col(toks_col)
     gap_lo = F.concat(F.array(F.lit(0)), F.transform(spans, lambda s: s["end"]))
     gap_hi = F.concat(F.transform(spans, lambda s: s["start"]), F.array(F.size(toks)))
     kept = F.flatten(
@@ -1029,7 +1059,7 @@ def remove_duplicate_spans(
         out.withColumn("spans", spans)
         .withColumn("clean_text", clean)
         .withColumn("tokens_removed", removed.cast("long"))
-        .drop("__toks")
+        .drop(toks_col)
     )
 
 

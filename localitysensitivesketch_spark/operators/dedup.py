@@ -434,6 +434,16 @@ def containment_pairs(
     # rank-and-prefix aggregation
     prefix = prefix.localCheckpoint(eager=False)
     index = tok
+    # "auto" takes the bloom index prefilter only past a corpus-size
+    # floor — its fixed stages (probe count + filter build) cost more
+    # than they save on tiny inputs; unknown size ⇒ assume large so the
+    # scale path stays on by default.  "bloom" forces it regardless.
+    if prefilter == "auto":
+        from ..session import AUTO_PREFILTER_MIN_BYTES, estimated_plan_bytes
+
+        est = estimated_plan_bytes(df)
+        if est is not None and est < AUTO_PREFILTER_MIN_BYTES:
+            prefilter = "off"
     if prefilter in ("auto", "bloom") and bloom_supported(df.sparkSession):
         # the inverted index only matters where a probe key can meet it:
         # bloom-filter the corpus-sized token stream MAP-SIDE before the

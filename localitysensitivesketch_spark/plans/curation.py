@@ -384,9 +384,18 @@ class CurationPipeline:
                     survivors, window_tokens=w, text_col=text_col
                 )
                 n = F.size(_tokens(text_col))
+                # null-safe verdict: a null-text doc has n = NULL, so the
+                # raw comparison is NULL and the row would silently fall
+                # out of the affected commit, then be resurrected by the
+                # reconstruction's coalesce(kept, True) — diverging from
+                # the wide path, whose filter drops the NULL row.  Pin it
+                # to kept=false so both formats drop it identically.
                 kept = (
                     F.lit(True) if min_rem <= 0
-                    else ((n - F.col("tokens_removed")) >= min_rem)
+                    else F.coalesce(
+                        (n - F.col("tokens_removed")) >= min_rem,
+                        F.lit(False),
+                    )
                 )
                 return cleaned.filter(
                     (F.col("tokens_removed") > 0) | ~kept

@@ -526,15 +526,6 @@ def test_narrow_wide_parity_with_null_and_empty_text(spark, tmp_path):
     gopher = dict(min_tokens=0, min_stopword_ratio=0.0,
                   min_chars_per_token=0.0, max_chars_per_token=1e9)
 
-    results = {}
-    for fmt in ("narrow", "wide"):
-        pipe = CurationPipeline(
-            spark, str(tmp_path / f"odd_{fmt}"), gopher_kwargs=gopher
-        )
-        results[fmt] = pipe.run(
-            raw, stage_format=fmt, exactsubstr_window=5
-        )
-
     def rows(res):
         return sorted(
             (r["url"], r["text"], r["clean_text"], r["tokens_removed"],
@@ -542,9 +533,33 @@ def test_narrow_wide_parity_with_null_and_empty_text(spark, tmp_path):
             for r in res.survivors.collect()
         )
 
-    n, w = rows(results["narrow"]), rows(results["wide"])
-    assert n == w
-    # the oddballs actually made it through (the test is vacuous if the
-    # gate dropped them)
-    urls = {r[0] for r in n}
-    assert "http://odd.example/null" in urls or "http://odd.example/empty" in urls
+    # min_remaining=0 exercises the clean_text-rebuild replica; 2
+    # exercises the null-safe kept verdict (a null-text doc has
+    # size(_tokens(NULL)) = NULL — the wide filter drops it, and the
+    # narrow view must commit kept=false instead of dropping the row
+    # from the affected commit and resurrecting it at reconstruction)
+    for min_rem in (0, 2):
+        results = {}
+        for fmt in ("narrow", "wide"):
+            pipe = CurationPipeline(
+                spark, str(tmp_path / f"odd_{fmt}_{min_rem}"),
+                gopher_kwargs=gopher,
+            )
+            results[fmt] = pipe.run(
+                raw, stage_format=fmt, exactsubstr_window=5,
+                exactsubstr_min_remaining=min_rem,
+            )
+
+        n, w = rows(results["narrow"]), rows(results["wide"])
+        assert n == w, f"narrow/wide diverge at min_remaining={min_rem}"
+        urls = {r[0] for r in n}
+        if min_rem == 0:
+            # the oddballs actually made it through (the test is vacuous
+            # if the gate dropped them)
+            assert ("http://odd.example/null" in urls
+                    or "http://odd.example/empty" in urls)
+        else:
+            # both formats must drop the null-text doc (NULL verdict
+            # pinned to kept=false on the narrow path)
+            assert "http://odd.example/null" not in urls
+            assert "http://odd.example/empty" not in urls

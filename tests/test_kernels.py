@@ -189,3 +189,25 @@ def test_recommended_shuffle_partitions_policy():
     assert rsp(100 * 1024**4) == 819200
     with pytest.raises(ValueError):
         rsp(-1)
+
+
+def test_estimated_plan_bytes_and_auto_prefilter_floor(spark, tmp_path):
+    from localitysensitivesketch_spark.session import (
+        AUTO_PREFILTER_MIN_BYTES,
+        estimated_plan_bytes,
+    )
+
+    # parquet scan: Catalyst stats = file bytes (no job runs)
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(100).selectExpr(
+        "id as doc_id", "repeat('tok ', 20) as text"
+    ).write.parquet(p)
+    est = estimated_plan_bytes(spark.read.parquet(p))
+    assert est is not None and 0 < est < AUTO_PREFILTER_MIN_BYTES
+    # python createDataFrame plans as a LogicalRDD with the
+    # unknown-stats sentinel → None, which callers treat as "large" so
+    # the scale paths stay on by default
+    est2 = estimated_plan_bytes(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    )
+    assert est2 is None

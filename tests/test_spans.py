@@ -307,3 +307,18 @@ def test_arrow_scan_survives_memo_buffer_growth(spark):
     hits = duplicate_span_hits(df, w, scope="docs", keep_first=False)
     got = {(r["doc_id"], r["pos"]) for r in hits.collect()}
     assert got == {(1, 2), (1, 3), (1, 4), (2, 0), (2, 1), (2, 2)}
+
+
+def test_remove_spans_preserves_preexisting_toks_column(spark):
+    """An input that already carries a __toks column must pass through
+    untouched — the rebuild's temp token column is collision-checked."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").withColumn(
+        "__toks", F.lit("sentinel")
+    )
+    out = remove_duplicate_spans(df, W)
+    assert "__toks" in out.columns
+    rows = out.collect()
+    assert all(r["__toks"] == "sentinel" for r in rows)
+    # and the rebuild still worked
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["tokens_removed"] == 10
