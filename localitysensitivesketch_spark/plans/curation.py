@@ -459,6 +459,188 @@ class CurationPipeline:
             dedup_stage_suffix=dedup_sfx,
         )
 
+    def merge_documents(
+        self,
+        new_raw: DataFrame,
+        raw: DataFrame | None = None,
+        url_col: str = "url",
+        ts_col: str = "warc_ts",
+        text_col: str = "text",
+        canonicalize: bool = False,
+        containment_threshold: float | None = None,
+        exactsubstr_window: int | None = None,
+        exactsubstr_min_remaining: int = 0,
+        stage_format: str = "narrow",
+    ) -> CurationResult:
+        """Append-only incremental curation: merge a new crawl batch into a
+        COMPLETED funnel checkpoint and return the updated
+        :class:`CurationResult` — the end-to-end MERGE pattern
+        (``plans/incremental.py`` handles only the dedup spine; this wires
+        the gate tiers and the downstream keep-list recomputation around
+        it).  Knobs must match the original :meth:`run` (they derive the
+        stage keys).
+
+        What happens, in cost order:
+
+        1. **Gate the new batch** — recrawl-collapse within the batch,
+           first-seen exact tier against committed content (a new doc whose
+           md5 already exists is dropped, matching the streaming exact
+           tier's first-seen keeper), Gopher quality gate.  O(|new|) work
+           plus one map-only md5 pass over committed captures probed by a
+           broadcast of the (small) new batch's hashes.
+        2. **Union-commit the gate stages** under their existing keys
+           (supersededversions archive as snapshots — pre-merge state
+           stays time-travelable).
+        3. **Merge the dedup spine** via
+           :func:`~.incremental.incremental_update`: signatures are
+           computed for the new survivors ONLY, candidates run new-vs-new
+           and new-vs-old, clusters merge incrementally
+           (``merge_components``) — the old corpus text is never
+           re-sketched.  Its invalidation cascade marks every downstream
+           curation stage (survivors / containment / span / funnel) stale.
+        4. **Resume the funnel** (:meth:`run` with ``resume=True``): gate
+           stages and the merged spine are reused; the invalidated
+           keep-lists recompute over the merged clusters.
+
+        Not supported (raises ``ValueError``): a new capture of an
+        already-committed url.  Replacing a page's content requires
+        delete+reinsert on the spine (the reference's re-cluster-on-drift
+        path, ``LSSFingerprintAtomic.java:646-686``); here that means a
+        fresh ``run(resume=False)``.
+
+        ``raw``: optional full raw table (old + new rows) used only for
+        the funnel audit's ``raw`` head-count; when omitted, the updated
+        captures table stands in (equal whenever the original raw had no
+        recrawl duplicates).
+
+        Parity contract (pinned by
+        ``test_merge_documents_matches_from_scratch_run``): the result
+        matches a from-scratch ``run`` over the combined corpus whenever
+        the new batch's urls are disjoint and no new doc exactly
+        duplicates committed content under a SMALLER doc id (first-seen
+        vs min-id keeper divergence — the one semantic the append-only
+        path cannot see)."""
+        from .incremental import incremental_update
+
+        if stage_format not in ("narrow", "wide"):
+            raise ValueError(
+                f"stage_format must be 'narrow' or 'wide', got {stage_format!r}"
+            )
+        narrow = stage_format == "narrow"
+        fmt = {"fmt": "ids"} if narrow else {}
+        p_cap = {"url_col": url_col, "ts_col": ts_col,
+                 "canonicalize": canonicalize}
+        k_cap = _qualify("captures", p_cap)
+        k_exact = _qualify("exact_kept", {"text_col": text_col, "in": k_cap, **fmt})
+        k_quality = _qualify(
+            "quality",
+            {"text_col": text_col, "gopher": self.gopher_kwargs, "in": k_exact},
+        )
+        dedup_sfx = "@" + _params_sig(
+            {"text_col": text_col, "in": [k_exact, k_quality]}
+        )
+        for k in (k_cap, k_exact, k_quality, "signatures" + dedup_sfx):
+            if not self.store.is_committed(k):
+                raise ValueError(
+                    f"merge_documents needs a completed run() with matching "
+                    f"knobs first (stage {k!r} is not committed)"
+                )
+        captures = self.store.read(k_cap)
+        key_col = "canonical_url" if canonicalize else url_col
+        new_keyed = (
+            normalize_urls(new_raw, url_col=url_col) if canonicalize else new_raw
+        )
+        new_caps = with_doc_id(
+            latest_capture(new_keyed, key_col=key_col, ts_col=ts_col),
+            url_col=key_col,
+        ).localCheckpoint(eager=True)
+        # the big committed side stays map-only: probe it with a broadcast
+        # of the (small) new batch's keys
+        n_overlap = captures.join(
+            F.broadcast(new_caps.select(key_col)), key_col, "left_semi"
+        ).count()
+        if n_overlap:
+            raise ValueError(
+                f"{n_overlap} new capture(s) of already-committed urls: "
+                "content replacement needs delete+reinsert on the spine — "
+                "rerun the funnel with resume=False"
+            )
+        # first-seen exact tier: which new hashes already exist? (map-only
+        # over captures, broadcast-probed; the hit set is ≤ |new|, tiny)
+        new_md5 = new_caps.select(
+            "doc_id", F.md5(F.col(text_col)).alias("__md5")
+        )
+        seen_md5 = (
+            captures.select(F.md5(F.col(text_col)).alias("__md5"))
+            .join(F.broadcast(new_md5.select("__md5").distinct()), "__md5",
+                  "left_semi")
+            .distinct()
+        )
+        # eager: this plan scans the PRE-merge captures files (via
+        # seen_md5) and is re-read below after the captures rewrite
+        # archives them — pin the (≤|new|-row) result now
+        new_keep_ids = (
+            new_md5.join(F.broadcast(seen_md5), "__md5", "left_anti")
+            .groupBy("__md5")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        ).localCheckpoint(eager=True)
+        new_exact_kept = new_caps.join(new_keep_ids, "doc_id", "left_semi")
+        new_quality = gopher_filter(
+            new_exact_kept, text_col=text_col, **self.gopher_kwargs
+        ).localCheckpoint(eager=True)
+        # union-commit the gates under their existing keys (write() swaps
+        # staging dirs, so reading a stage's previous version inside its
+        # own rewrite plan is safe; the superseded version archives)
+        captures_upd = self.store.write(
+            k_cap, captures.unionByName(new_caps), operation="merge-append"
+        )
+        old_exact = self.store.read(k_exact)
+        exact_upd = self.store.write(
+            k_exact,
+            old_exact.unionByName(
+                new_keep_ids if narrow
+                else new_exact_kept.select(*old_exact.columns)
+            ),
+            operation="merge-append",
+        )
+        quality_upd = self.store.write(
+            k_quality,
+            self.store.read(k_quality).unionByName(
+                new_quality.select(*self.store.read(k_quality).columns)
+            ),
+            operation="merge-append",
+        )
+        # spine merge over the updated gate views (same reconstruction
+        # shapes as run())
+        passed_ids = quality_upd.filter("keep").select("doc_id")
+        exact_view = (
+            captures_upd.join(exact_upd, "doc_id", "left_semi")
+            if narrow else exact_upd
+        )
+        all_passed = exact_view.join(passed_ids, "doc_id", "left_semi")
+        new_passed = new_exact_kept.join(
+            new_quality.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        incremental_update(
+            self.store, all_passed, new_passed, self.cfg,
+            stage_suffix=dedup_sfx,
+        )
+        # resume recomputes the cascade-invalidated keep-lists over the
+        # merged spine; gates + spine are reused as committed above
+        return self.run(
+            raw if raw is not None else captures_upd,
+            resume=True,
+            url_col=url_col,
+            ts_col=ts_col,
+            text_col=text_col,
+            canonicalize=canonicalize,
+            containment_threshold=containment_threshold,
+            exactsubstr_window=exactsubstr_window,
+            exactsubstr_min_remaining=exactsubstr_min_remaining,
+            stage_format=stage_format,
+        )
+
     def _funnel(self, raw, tiers):
         # one count() job per tier boundary — a handful of scalar jobs on
         # committed stage tables, not a hot path
