@@ -359,6 +359,20 @@ def containment_pairs(
     of the widest intermediate.  Together: 171 s → 36 s at
     200 k docs / local[32], identical output pairs.
 
+    Round-5 scaling rework (the 800 k-doc step profile showed the tier's
+    8→32-thread flattening came from shuffle/serialization volume, not
+    compute): (1) the corpus's ``array<string>`` token column is never
+    checkpointed — 169 s of pure serialization at 800 k docs — only the
+    fixed-width hashed token stream is shared, and the exact-verify
+    sides re-tokenize from the column-pruned scan; (2) the per-doc
+    rarest-prefix aggregation map-side-drops every token above a
+    document-frequency cutoff chosen from a ≤64-row vocabulary
+    histogram, with an exact per-doc fallback — lossless, same probe
+    sets, ~8× less aggregation shuffle at t = 1; (3) the t < 1 rank
+    window (global sort of the token stream) is gone — both paths use
+    the same hash-aggregate + per-doc local sort with a per-doc slice
+    length.
+
     Unlike Jaccard, containment is not symmetric: both directions of a
     pair are tested and emitted independently when both pass.
     """
@@ -383,14 +397,20 @@ def containment_pairs(
         .withColumn("n", F.size("toks"))
         .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
     )
-    # four consumers (vocab df, index scan, both verify sides) — one
-    # tokenize+explode materialization instead of four full re-scans
-    base = base.localCheckpoint(eager=False)
-    tok = base.select(
-        "doc_id", "n", F.explode("toks").alias("tok")
-    ).select("doc_id", "n", F.xxhash64("tok").alias("key"))
+    # base is deliberately NOT checkpointed: serializing the corpus's
+    # array<string> column through the checkpoint store measured 169 s of
+    # the tier's ~344 s wall at 800 k docs / local[32] (round-5 step
+    # profile) — the shared intermediate is the fixed-width hashed token
+    # stream below instead; the two exact-verify sides re-tokenize from
+    # the column-pruned scan (a narrow codegen pass, no shuffle).
+    tok = (
+        base.select("doc_id", "n", F.explode("toks").alias("tok"))
+        .select("doc_id", "n", F.xxhash64("tok").alias("key"))
+        # three consumers: vocab df agg, rank join, inverted index
+        .localCheckpoint(eager=False)
+    )
     tok_df = tok.groupBy("key").agg(F.count("*").alias("tok_df"))
-    # two consumers (row count for the broadcast guard + the rank join)
+    # three consumers (broadcast-guard count + cutoff histogram + rank join)
     tok_df = tok_df.localCheckpoint(eager=False)
     n_vocab = tok_df.count()
     ranked = tok.join(
@@ -398,35 +418,90 @@ def containment_pairs(
         "key",
     )
     # probes emitted per doc: L = min(m + k, n), rarest-first; a true
-    # pair must match ≥ L − m of them (m = miss budget = n − ceil(t·n))
-    if t == 1.0:
-        # m = 0, L = min(k, n): the k globally rarest tokens of each doc.
-        # slice(array_sort(collect_list(struct(tok_df, key)))) picks the
-        # exact rows the window path ranks rn ≤ k (same (tok_df asc,
-        # key asc) order) but as ONE hash aggregation + per-doc local
-        # sort — no global sort of the corpus-sized (doc, token) table,
-        # which was this tier's first wall at 10^6 docs.
-        prefix = (
-            ranked.groupBy("doc_id")
+    # pair must match ≥ L − m of them (m = miss budget = n − ceil(t·n)).
+    # slice(array_sort(collect_list(struct(tok_df, key)))) picks the
+    # exact rows a per-doc rank window would keep (same (tok_df asc,
+    # key asc) order) but as ONE hash aggregation + per-doc local sort —
+    # no global sort of the corpus-sized (doc, token) table.
+    _m = F.col("n") - _ceil_safe(F.lit(t) * F.col("n"))
+    _L = F.least(_m + F.lit(k), F.col("n"))
+
+    def _topk(stream: DataFrame) -> DataFrame:
+        # the slice length is per-doc (needs n), so it applies AFTER the
+        # aggregate — same shuffle volume as slicing inside the agg would
+        # have (partial collect_list always ships the full partial lists)
+        return (
+            stream.groupBy("doc_id")
             .agg(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("tok_df", "key"))),
-                    1,
-                    k,
+                F.array_sort(
+                    F.collect_list(F.struct("tok_df", "key"))
                 ).alias("ms"),
                 F.first("n").alias("n"),
             )
-            .select("doc_id", F.explode("ms").alias("m"), "n")
+            .select("doc_id", F.explode(F.slice("ms", 1, _L)).alias("m"), "n")
             .select("doc_id", F.col("m.key").alias("key"), "n")
         )
-    else:
-        _m = F.col("n") - _ceil_safe(F.lit(t) * F.col("n"))
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("tok_df").asc(), F.col("key").asc()
+
+    # df-cutoff pre-prune (LOSSLESS): only globally-rare tokens can be in
+    # a doc's L-smallest-(df, key) prefix when the doc has ≥ L tokens
+    # under the cutoff — every token above the cutoff sorts after every
+    # token below it, so the L smallest under-cutoff rows ARE the L
+    # smallest rows.  collect_list drops the nulls the `when` produces
+    # MAP-SIDE, so the per-doc aggregation shuffles only under-cutoff
+    # structs (~ρ of the stream) instead of the whole token stream; docs
+    # whose prefix cannot be satisfied under the cutoff (all-common-token
+    # template pages) fall back to an exact top-L over just their rows.
+    # The cutoff comes from a ≤64-row log₂(df) histogram of the vocabulary
+    # (bounded driver materialization): smallest power-of-two cutoff whose
+    # cumulative occurrence count covers ρ = 4·(1−t) + 0.08 of the stream
+    # (the 0.08 floor covers L = k at t = 1 with ~16× per-doc margin).
+    # Prune disabled when ρ or the bucket overshoot would keep >40% of
+    # rows — at low thresholds the prefix is most of the doc anyway and
+    # the two-pass plan would cost more than it saves.
+    rho = 4.0 * (1.0 - t) + 0.08
+    cutoff = None
+    if rho <= 0.33:
+        hist = (
+            tok_df.groupBy(
+                F.ceil(F.log2(F.col("tok_df"))).cast("int").alias("b")
+            )
+            .agg(F.sum("tok_df").alias("rows"))
+            .collect()
         )
-        prefix = ranked.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= F.least(_m + F.lit(k), F.col("n"))
-        ).select("doc_id", "key", "n")
+        buckets = sorted((r["b"], r["rows"]) for r in hist)
+        total = sum(rows for _, rows in buckets)
+        cum = 0
+        for b, rows in buckets:
+            cum += rows
+            if cum >= rho * total:
+                if cum <= 0.4 * total and b < buckets[-1][0]:
+                    cutoff = 2 ** b
+                break
+    if cutoff is not None:
+        agg_u = ranked.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("tok_df") <= F.lit(cutoff),
+                        F.struct("tok_df", "key"),
+                    )
+                )
+            ).alias("ms"),
+            F.first("n").alias("n"),
+        )
+        # two consumers (main slice + fallback id set)
+        agg_u = agg_u.localCheckpoint(eager=False)
+        sat = F.size("ms") >= _L
+        prefix_main = (
+            agg_u.filter(sat)
+            .select("doc_id", F.explode(F.slice("ms", 1, _L)).alias("m"), "n")
+            .select("doc_id", F.col("m.key").alias("key"), "n")
+        )
+        bad_ids = agg_u.filter(~sat).select("doc_id")
+        prefix_fb = _topk(ranked.join(F.broadcast(bad_ids), "doc_id", "left_semi"))
+        prefix = prefix_main.unionByName(prefix_fb)
+    else:
+        prefix = _topk(ranked)
     from ..functions.bloom import bloom_build, bloom_supported, might_contain
     from .candidates import probe_index_pairs
 

@@ -140,8 +140,14 @@ class CurationPipeline:
         exactsubstr_window: int | None = None,
         exactsubstr_min_remaining: int = 0,
         stage_format: str = "narrow",
+        auto_partition: bool = False,
     ) -> CurationResult:
-        """``canonicalize=True`` collapses cosmetic url variants
+        """``auto_partition=True`` scopes ``spark.sql.shuffle.partitions``
+        to the data-sized policy for the raw input
+        (:func:`~..session.partition_policy`) for the whole funnel run,
+        restoring the session setting after.
+
+        ``canonicalize=True`` collapses cosmetic url variants
         (case/port/fragment/slash/query-order — ``operators/urls.py``)
         BEFORE the recrawl tier: captures are keyed (and doc ids hashed)
         by ``canonical_url``, so two crawls of ``http://A.com/p`` and
@@ -174,6 +180,35 @@ class CurationPipeline:
         audits; the narrow span view reproduces ``clean_text``
         byte-identically, including the whitespace normalization
         ``remove_duplicate_spans`` applies to unaffected docs."""
+        from contextlib import nullcontext
+
+        from ..session import partition_policy
+
+        ctx = (
+            partition_policy(self.spark, raw)
+            if auto_partition
+            else nullcontext()
+        )
+        with ctx:
+            return self._run_stages(
+                raw, resume, url_col, ts_col, text_col, canonicalize,
+                containment_threshold, exactsubstr_window,
+                exactsubstr_min_remaining, stage_format,
+            )
+
+    def _run_stages(
+        self,
+        raw: DataFrame,
+        resume: bool,
+        url_col: str,
+        ts_col: str,
+        text_col: str,
+        canonicalize: bool,
+        containment_threshold: float | None,
+        exactsubstr_window: int | None,
+        exactsubstr_min_remaining: int,
+        stage_format: str,
+    ) -> CurationResult:
         if stage_format not in ("narrow", "wide"):
             raise ValueError(
                 f"stage_format must be 'narrow' or 'wide', got {stage_format!r}"

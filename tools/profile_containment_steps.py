@@ -1,8 +1,10 @@
 """Instrumented sub-step walls for containment_pairs (t=1.0 path).
 
-Materializes each intermediate with a count() so the phases separate.
-Throwaway tuning tool; the production operator is
-operators/dedup.py::containment_pairs.
+Mirrors the PRODUCTION phases of operators/dedup.py::containment_pairs at
+HEAD (hashed 8-byte keys at the explode, slice-agg t=1.0 prefix, bloom
+index prefilter, count(*) k-probe filter), materializing each intermediate
+so the phases separate.  Throwaway tuning tool for the 8v32 saturation
+analysis; the production operator stays the source of truth.
 """
 
 from __future__ import annotations
@@ -23,23 +25,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--probe-k", type=int, default=3)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from localitysensitivesketch_spark.config import SketchConfig
+    from localitysensitivesketch_spark.functions.bloom import (
+        bloom_build,
+        bloom_supported,
+        might_contain,
+    )
     from localitysensitivesketch_spark.operators.candidates import probe_index_pairs
-    from localitysensitivesketch_spark.operators.dedup import _ceil_safe
+    from localitysensitivesketch_spark.operators.dedup import (
+        VOCAB_BROADCAST_MAX_ROWS,
+        _ceil_safe,
+    )
     from localitysensitivesketch_spark.session import get_spark
 
     cfg = SketchConfig()
-    k = 3
+    k = args.probe_k
     t = 1.0
     data = build_corpus(args.docs)
     spark = get_spark(
         app_name="containment-steps",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=max(2 * args.cpus, 8),
+        shuffle_partitions=256,
     )
     df = spark.read.parquet(data).drop("kind")
     walls: dict[str, float] = {}
@@ -56,40 +67,62 @@ def main() -> None:
         .withColumn("n", F.size("toks"))
         .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
     )
-    tok = base.select("doc_id", "n", F.explode("toks").alias("tok"))
-    counts["tok_rows"] = tok.count()
-    walls["explode_count"] = round(time.time() - t0, 2)
+    base = base.localCheckpoint(eager=True)
+    walls["base_checkpoint"] = round(time.time() - t0, 2)
 
     t1 = time.time()
-    tok_df = tok.groupBy("tok").agg(F.count("*").alias("tok_df"))
-    counts["vocab"] = tok_df.count()
-    walls["tok_df_agg"] = round(time.time() - t1, 2)
+    tok = base.select(
+        "doc_id", "n", F.explode("toks").alias("tok")
+    ).select("doc_id", "n", F.xxhash64("tok").alias("key"))
+    counts["tok_rows"] = tok.count()
+    walls["explode_count"] = round(time.time() - t1, 2)
 
     t2 = time.time()
-    ranked = tok.join(tok_df, "tok")
+    tok_df = tok.groupBy("key").agg(F.count("*").alias("tok_df"))
+    tok_df = tok_df.localCheckpoint(eager=True)
+    n_vocab = tok_df.count()
+    counts["vocab"] = n_vocab
+    walls["tok_df_agg"] = round(time.time() - t2, 2)
+
+    t3 = time.time()
+    ranked = tok.join(
+        F.broadcast(tok_df) if n_vocab <= VOCAB_BROADCAST_MAX_ROWS else tok_df,
+        "key",
+    )
     prefix = (
         ranked.groupBy("doc_id")
         .agg(
             F.slice(
-                F.array_sort(F.collect_list(F.struct("tok_df", "tok"))), 1, k
+                F.array_sort(F.collect_list(F.struct("tok_df", "key"))), 1, k
             ).alias("ms"),
             F.first("n").alias("n"),
         )
         .select("doc_id", F.explode("ms").alias("m"), "n")
-        .select("doc_id", F.col("m.tok").alias("tok"), "n")
+        .select("doc_id", F.col("m.key").alias("key"), "n")
     )
     prefix = prefix.localCheckpoint(eager=True)
     counts["prefix_rows"] = prefix.count()
-    walls["rank_and_prefix"] = round(time.time() - t2, 2)
+    walls["rank_and_prefix"] = round(time.time() - t3, 2)
 
-    t3 = time.time()
+    t4 = time.time()
+    index = tok
+    if bloom_supported(spark):
+        n_probe = counts["prefix_rows"]
+        bloom_bytes = bloom_build(
+            prefix.select("key"), "key", expected_items=max(n_probe, 1)
+        )
+        if bloom_bytes is not None:
+            pred = might_contain(tok, "key", bloom_bytes)
+            if pred is not None:
+                index = tok.filter(pred)
+    walls["bloom_build"] = round(time.time() - t4, 2)
+
+    t5 = time.time()
     cand, _ = probe_index_pairs(
-        prefix.select("doc_id", F.xxhash64("tok").alias("key"), "n",
-                      F.xxhash64("tok").alias("pk")),
-        tok.select("doc_id", F.xxhash64("tok").alias("key"), "n",
-                   F.xxhash64("tok").alias("pk")),
+        prefix.select("doc_id", "key", "n"),
+        index,
         cfg,
-        payload_cols=("n", "pk"),
+        payload_cols=("n",),
         distinct=False,
     )
     m_p = F.col("n_p") - _ceil_safe(F.lit(t) * F.col("n_p"))
@@ -97,15 +130,15 @@ def main() -> None:
     cand = (
         cand.filter(F.col("n_i") >= _ceil_safe(F.lit(t) * F.col("n_p")))
         .groupBy("probe_id", "index_id", "n_p")
-        .agg(F.count_distinct(F.col("pk_p")).alias("hits"))
+        .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= req)
         .select("probe_id", "index_id")
     )
     cand = cand.localCheckpoint(eager=True)
     counts["cand_pairs"] = cand.count()
-    walls["probe_join_countfilter"] = round(time.time() - t3, 2)
+    walls["probe_join_countfilter"] = round(time.time() - t5, 2)
 
-    t4 = time.time()
+    t6 = time.time()
     a = base.select(F.col("doc_id").alias("probe_id"), F.col("toks").alias("ta"),
                     F.col("n").alias("na"))
     b = base.select(F.col("doc_id").alias("index_id"), F.col("toks").alias("tb"))
@@ -120,10 +153,10 @@ def main() -> None:
         .filter(F.col("containment") >= t)
     )
     counts["pairs"] = out.count()
-    walls["exact_verify"] = round(time.time() - t4, 2)
+    walls["exact_verify"] = round(time.time() - t6, 2)
     walls["total"] = round(time.time() - t0, 2)
 
-    print(json.dumps({"docs": args.docs, "cpus": args.cpus,
+    print(json.dumps({"docs": args.docs, "cpus": args.cpus, "probe_k": k,
                       "counts": counts, "walls_s": walls}))
     spark.stop()
 
