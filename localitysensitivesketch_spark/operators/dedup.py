@@ -298,6 +298,14 @@ def ngram_jaccard_pairs(
 # impossible and the shuffle join is the correct plan.
 VOCAB_BROADCAST_MAX_ROWS = 2_000_000
 
+# containment_pairs(materialize="auto") shares the tokenized corpus via one
+# localCheckpoint below this estimated input size and re-derives it map-side
+# above (see the operator docstring).  Calibrated on the 200 k-doc fixture
+# (~100 MB text): "base" wins 2.9×/1.5× at local[8]/[32] there, while at
+# 800 k docs the serialization barrier flattens 8→32 scaling to 0.44 —
+# crossover sits between those corpora on a 48 g-heap single box.
+MATERIALIZE_MAX_BYTES = 256 * 1024 * 1024
+
 
 def containment_pairs(
     df: DataFrame,
@@ -307,6 +315,7 @@ def containment_pairs(
     cfg: SketchConfig | None = None,
     probe_k: int = 3,
     prefilter: str = "auto",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Directional token-set containment: every ordered pair with
     ``|T(a) ∩ T(b)| / |T(a)| ≥ t``, emitted as
@@ -361,12 +370,17 @@ def containment_pairs(
 
     Round-5 scaling rework (the 800 k-doc step profile showed the tier's
     8→32-thread flattening came from shuffle/serialization volume, not
-    compute): (1) the corpus's ``array<string>`` token column is never
-    checkpointed — 169 s of pure serialization at 800 k docs — only the
-    fixed-width hashed token stream is shared, and the exact-verify
-    sides re-tokenize from the column-pruned scan; (2) the per-doc
-    rarest-prefix aggregation map-side-drops every token above a
-    document-frequency cutoff chosen from a ≤64-row vocabulary
+    compute): (1) ``materialize`` decides whether the tokenized corpus is
+    shared via one ``localCheckpoint`` (``"base"`` — one tokenize pass,
+    but the serialization barrier is memory-bandwidth-bound and is
+    exactly what flattened this tier 8→32 threads at 800 k docs) or
+    re-derived map-side by every consumer (``"none"`` — tokenize/explode
+    is a pure whole-stage-codegen map over a column-pruned scan, so the
+    extra passes scale linearly with cores); ``"auto"`` materializes
+    below ``MATERIALIZE_MAX_BYTES`` of estimated input and recomputes
+    above it (unknown size ⇒ recompute: the scale-safe default).
+    (2) the per-doc rarest-prefix aggregation map-side-drops every token
+    above a document-frequency cutoff chosen from a ≤64-row vocabulary
     histogram, with an exact per-doc fallback — lossless, same probe
     sets, ~8× less aggregation shuffle at t = 1; (3) the t < 1 rank
     window (global sort of the token stream) is gone — both paths use
@@ -387,6 +401,17 @@ def containment_pairs(
         raise ValueError(
             f"prefilter must be 'auto', 'bloom' or 'off', got {prefilter!r}"
         )
+    if materialize not in ("auto", "base", "none"):
+        raise ValueError(
+            f"materialize must be 'auto', 'base' or 'none', got {materialize!r}"
+        )
+    if materialize == "auto":
+        from ..session import estimated_plan_bytes
+
+        est = estimated_plan_bytes(df)
+        materialize = (
+            "base" if est is not None and est < MATERIALIZE_MAX_BYTES else "none"
+        )
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -397,18 +422,23 @@ def containment_pairs(
         .withColumn("n", F.size("toks"))
         .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
     )
-    # base is deliberately NOT checkpointed: serializing the corpus's
-    # array<string> column through the checkpoint store measured 169 s of
-    # the tier's ~344 s wall at 800 k docs / local[32] (round-5 step
-    # profile) — the shared intermediate is the fixed-width hashed token
-    # stream below instead; the two exact-verify sides re-tokenize from
-    # the column-pruned scan (a narrow codegen pass, no shuffle).
-    tok = (
-        base.select("doc_id", "n", F.explode("toks").alias("tok"))
-        .select("doc_id", "n", F.xxhash64("tok").alias("key"))
-        # three consumers: vocab df agg, rank join, inverted index
-        .localCheckpoint(eager=False)
-    )
+    if materialize == "base":
+        # one tokenize pass shared by every consumer (vocab agg, rank
+        # join, inverted index, both exact-verify sides) — fastest while
+        # the tokenized corpus fits comfortably in executor memory
+        base = base.localCheckpoint(eager=False)
+    # else: nothing corpus-sized is checkpointed — materializing either
+    # the array<string> corpus (169 s of serialization at 800 k docs /
+    # local[32], r5 step profile) or the hashed token stream (~32 s at
+    # 200 k) costs more than recomputing them at scale, and the
+    # serialization barrier is memory-bandwidth-bound: it is exactly what
+    # flattened this tier 8→32 threads.  tokenize/explode/xxhash64 is a
+    # pure whole-stage-codegen map over a column-pruned scan, so each
+    # consumer re-derives it map-side and the extra passes scale
+    # linearly with cores.
+    tok = base.select(
+        "doc_id", "n", F.explode("toks").alias("tok")
+    ).select("doc_id", "n", F.xxhash64("tok").alias("key"))
     tok_df = tok.groupBy("key").agg(F.count("*").alias("tok_df"))
     # three consumers (broadcast-guard count + cutoff histogram + rank join)
     tok_df = tok_df.localCheckpoint(eager=False)
@@ -498,7 +528,18 @@ def containment_pairs(
             .select("doc_id", F.col("m.key").alias("key"), "n")
         )
         bad_ids = agg_u.filter(~sat).select("doc_id")
-        prefix_fb = _topk(ranked.join(F.broadcast(bad_ids), "doc_id", "left_semi"))
+        # semi-join FIRST so only the (few) fallback docs' rows probe the
+        # vocabulary hash map — the full-stream vocab join is the most
+        # expensive map work in this operator
+        fb_rows = tok.join(F.broadcast(bad_ids), "doc_id", "left_semi")
+        prefix_fb = _topk(
+            fb_rows.join(
+                F.broadcast(tok_df)
+                if n_vocab <= VOCAB_BROADCAST_MAX_ROWS
+                else tok_df,
+                "key",
+            )
+        )
         prefix = prefix_main.unionByName(prefix_fb)
     else:
         prefix = _topk(ranked)

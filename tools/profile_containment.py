@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=1.0)
+    ap.add_argument("--materialize", default="auto",
+                    choices=["auto", "base", "none"])
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -46,7 +48,8 @@ def main() -> None:
     walls: dict[str, float] = {}
     t0 = time.time()
     pairs = containment_pairs(
-        docs, threshold=args.threshold, cfg=SketchConfig()
+        docs, threshold=args.threshold, cfg=SketchConfig(),
+        materialize=args.materialize,
     )
     n_pairs = pairs.count()
     walls["containment_pairs_total"] = round(time.time() - t0, 2)

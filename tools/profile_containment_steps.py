@@ -1,10 +1,11 @@
 """Instrumented sub-step walls for containment_pairs (t=1.0 path).
 
 Mirrors the PRODUCTION phases of operators/dedup.py::containment_pairs at
-HEAD (hashed 8-byte keys at the explode, slice-agg t=1.0 prefix, bloom
-index prefilter, count(*) k-probe filter), materializing each intermediate
-so the phases separate.  Throwaway tuning tool for the 8v32 saturation
-analysis; the production operator stays the source of truth.
+HEAD (hashed token stream as the only shared intermediate, df-cutoff
+map-side prune with exact per-doc fallback, bloom index prefilter,
+count(*) k-probe filter, re-tokenized verify sides), materializing each
+intermediate so the phases separate.  Throwaway tuning tool for the 8v32
+saturation analysis; the production operator stays the source of truth.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--probe-k", type=int, default=3)
+    ap.add_argument("--no-cutoff", action="store_true")
+    ap.add_argument("--no-tok-checkpoint", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -67,15 +70,13 @@ def main() -> None:
         .withColumn("n", F.size("toks"))
         .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
     )
-    base = base.localCheckpoint(eager=True)
-    walls["base_checkpoint"] = round(time.time() - t0, 2)
-
-    t1 = time.time()
     tok = base.select(
         "doc_id", "n", F.explode("toks").alias("tok")
     ).select("doc_id", "n", F.xxhash64("tok").alias("key"))
-    counts["tok_rows"] = tok.count()
-    walls["explode_count"] = round(time.time() - t1, 2)
+    if not args.no_tok_checkpoint:
+        tok = tok.localCheckpoint(eager=True)
+        counts["tok_rows"] = tok.count()
+    walls["tok_checkpoint"] = round(time.time() - t0, 2)
 
     t2 = time.time()
     tok_df = tok.groupBy("key").agg(F.count("*").alias("tok_df"))
@@ -89,20 +90,73 @@ def main() -> None:
         F.broadcast(tok_df) if n_vocab <= VOCAB_BROADCAST_MAX_ROWS else tok_df,
         "key",
     )
-    prefix = (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("tok_df", "key"))), 1, k
+    _m = F.col("n") - _ceil_safe(F.lit(t) * F.col("n"))
+    _L = F.least(_m + F.lit(k), F.col("n"))
+
+    def _topk(stream):
+        return (
+            stream.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("tok_df", "key"))
+                ).alias("ms"),
+                F.first("n").alias("n"),
+            )
+            .select("doc_id", F.explode(F.slice("ms", 1, _L)).alias("m"), "n")
+            .select("doc_id", F.col("m.key").alias("key"), "n")
+        )
+
+    rho = 4.0 * (1.0 - t) + 0.08
+    cutoff = None
+    if rho <= 0.33 and not args.no_cutoff:
+        hist = (
+            tok_df.groupBy(
+                F.ceil(F.log2(F.col("tok_df"))).cast("int").alias("b")
+            )
+            .agg(F.sum("tok_df").alias("rows"))
+            .collect()
+        )
+        buckets = sorted((r["b"], r["rows"]) for r in hist)
+        total = sum(rows for _, rows in buckets)
+        cum = 0
+        for b, rows in buckets:
+            cum += rows
+            if cum >= rho * total:
+                if cum <= 0.4 * total and b < buckets[-1][0]:
+                    cutoff = 2 ** b
+                break
+    walls["cutoff_hist"] = round(time.time() - t3, 2)
+    counts["cutoff"] = cutoff if cutoff is not None else -1
+
+    t35 = time.time()
+    if cutoff is not None:
+        agg_u = ranked.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("tok_df") <= F.lit(cutoff),
+                        F.struct("tok_df", "key"),
+                    )
+                )
             ).alias("ms"),
             F.first("n").alias("n"),
         )
-        .select("doc_id", F.explode("ms").alias("m"), "n")
-        .select("doc_id", F.col("m.key").alias("key"), "n")
-    )
+        agg_u = agg_u.localCheckpoint(eager=True)
+        sat = F.size("ms") >= _L
+        prefix_main = (
+            agg_u.filter(sat)
+            .select("doc_id", F.explode(F.slice("ms", 1, _L)).alias("m"), "n")
+            .select("doc_id", F.col("m.key").alias("key"), "n")
+        )
+        bad_ids = agg_u.filter(~sat).select("doc_id")
+        counts["fallback_docs"] = bad_ids.count()
+        prefix_fb = _topk(ranked.join(F.broadcast(bad_ids), "doc_id", "left_semi"))
+        prefix = prefix_main.unionByName(prefix_fb)
+    else:
+        prefix = _topk(ranked)
     prefix = prefix.localCheckpoint(eager=True)
     counts["prefix_rows"] = prefix.count()
-    walls["rank_and_prefix"] = round(time.time() - t3, 2)
+    walls["rank_and_prefix"] = round(time.time() - t35, 2)
 
     t4 = time.time()
     index = tok
