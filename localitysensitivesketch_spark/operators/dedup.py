@@ -299,12 +299,17 @@ def ngram_jaccard_pairs(
 VOCAB_BROADCAST_MAX_ROWS = 2_000_000
 
 # containment_pairs(materialize="auto") shares the tokenized corpus via one
-# localCheckpoint below this estimated input size and re-derives it map-side
-# above (see the operator docstring).  Calibrated on the 200 k-doc fixture
-# (~100 MB text): "base" wins 2.9×/1.5× at local[8]/[32] there, while at
-# 800 k docs the serialization barrier flattens 8→32 scaling to 0.44 —
-# crossover sits between those corpora on a 48 g-heap single box.
-MATERIALIZE_MAX_BYTES = 256 * 1024 * 1024
+# localCheckpoint when it fits comfortably in cluster memory: estimated
+# input bytes × this factor (UnsafeRow token arrays + checkpoint block
+# overhead run ~1.5-2× the raw text; 3 leaves headroom for the rest of the
+# query) must fit in the executors' unified memory
+# (session.cluster_storage_bytes).  Measured at 800 k docs (3.7 GB input,
+# 48 g single JVM): "base" 105 s vs "none" 251 s at local[32], outputs
+# identical — while on a 1000-executor cluster reading 100 TB the same
+# rule compares 100 TB × 3 against ~10 TB of memory and correctly takes
+# the recompute path.  Both modes are lossless, so the rule only affects
+# speed, never results.
+MATERIALIZE_MEM_FACTOR = 3
 
 
 def containment_pairs(
@@ -377,8 +382,9 @@ def containment_pairs(
     re-derived map-side by every consumer (``"none"`` — tokenize/explode
     is a pure whole-stage-codegen map over a column-pruned scan, so the
     extra passes scale linearly with cores); ``"auto"`` materializes
-    below ``MATERIALIZE_MAX_BYTES`` of estimated input and recomputes
-    above it (unknown size ⇒ recompute: the scale-safe default).
+    when ``MATERIALIZE_MEM_FACTOR ×`` the estimated input fits in the
+    cluster's unified executor memory and recomputes otherwise (unknown
+    size or memory ⇒ recompute: the scale-safe default).
     (2) the per-doc rarest-prefix aggregation map-side-drops every token
     above a document-frequency cutoff chosen from a ≤64-row vocabulary
     histogram, with an exact per-doc fallback — lossless, same probe
@@ -406,11 +412,16 @@ def containment_pairs(
             f"materialize must be 'auto', 'base' or 'none', got {materialize!r}"
         )
     if materialize == "auto":
-        from ..session import estimated_plan_bytes
+        from ..session import cluster_storage_bytes, estimated_plan_bytes
 
         est = estimated_plan_bytes(df)
+        mem = cluster_storage_bytes(df.sparkSession)
         materialize = (
-            "base" if est is not None and est < MATERIALIZE_MAX_BYTES else "none"
+            "base"
+            if est is not None
+            and mem is not None
+            and est * MATERIALIZE_MEM_FACTOR <= mem
+            else "none"
         )
     base = (
         df.select(

@@ -71,6 +71,29 @@ def estimated_plan_bytes(df) -> int | None:
     return size
 
 
+def cluster_storage_bytes(spark: SparkSession) -> int | None:
+    """Total unified (storage+execution) memory across live executors,
+    from the scheduler's executor memory status — **no job runs**.
+    ``None`` when the introspection fails (non-classic backend, moved
+    internals); callers treat unknown as "small cluster, big data" and
+    stay on the recompute path.
+
+    This is the scale signal that a fixed byte threshold cannot be: on
+    this sandbox's 48 GB single JVM it reports ~25 GB, so a 3.7 GB corpus
+    materializes; on a 1000-executor cluster reading 100 TB the same rule
+    compares 100 TB against ~10 TB of executor memory and correctly
+    refuses to pin the corpus."""
+    try:
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        total = 0
+        while it.hasNext():
+            total += int(it.next()._2()._1())
+        return total or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 @contextmanager
 def partition_policy(
     spark: SparkSession,

@@ -34,6 +34,27 @@ from ..operators.signatures import compute_signatures
 DOC_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _write_by_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch store write: partitioned by batch_id with
+    DYNAMIC partition overwrite, so a Structured Streaming replay of the
+    same batch rewrites its own partition instead of appending.
+
+    An all-dropped batch must not SEED the store with a schema-less
+    directory (a partitioned write of an empty DataFrame lands no parquet
+    footers, and every later batch's ``spark.read.parquet`` would fail
+    schema inference) — skipping the very first write is replay-equivalent
+    (absent directory == no state).  Once the directory exists its schema
+    is pinned by earlier footers, and the empty dynamic overwrite touches
+    no partitions, so it is skipped too (pure no-op either way)."""
+    if df.isEmpty():
+        return
+    df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(path)
+
+
 def read_document_stream(
     spark: SparkSession,
     path: str | None = None,
@@ -224,15 +245,8 @@ def process_incremental_batch(
         pairs = pairs.unionByName(cross).distinct()
     pairs = pairs.localCheckpoint(eager=True)  # plan may read pair/sig dirs
 
-    def _write_by_batch(df: DataFrame, path: str) -> None:
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "batch_id"
-        ).parquet(path)
-
-    _write_by_batch(pairs, pair_path)
-    _write_by_batch(sigs, sig_path)
+    _write_by_batch(pairs, pair_path, batch_id)
+    _write_by_batch(sigs, sig_path, batch_id)
 
     if not full_pipeline:
         return
@@ -293,8 +307,8 @@ def process_incremental_batch(
         clusters = connected_components(
             all_docs.select("doc_id"), all_edges
         ).localCheckpoint(eager=True)
-    _write_by_batch(batch_docs, doc_path)
-    _write_by_batch(new_edges, edge_path)
+    _write_by_batch(batch_docs, doc_path, batch_id)
+    _write_by_batch(new_edges, edge_path, batch_id)
     # global snapshot via staged write + rename swap: a bare
     # mode("overwrite") clears the old directory BEFORE the new data
     # lands, so a crash mid-write would leave a partial/empty snapshot
@@ -421,15 +435,8 @@ def process_curation_batch(
     curated = curated.localCheckpoint(eager=True)  # write + caller chain
     n_curated = curated.count()
 
-    def _write_by_batch(df: DataFrame, path: str) -> None:
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "batch_id"
-        ).parquet(path)
-
-    _write_by_batch(keepers, hash_path)
-    _write_by_batch(curated, curated_path)
+    _write_by_batch(keepers, hash_path, batch_id)
+    _write_by_batch(curated, curated_path, batch_id)
     _write_by_batch(
         spark.createDataFrame(
             [(n_in, n_unblocked, n_quality, n_curated)],
@@ -437,6 +444,7 @@ def process_curation_batch(
             "n_curated long",
         ),
         metrics_path,
+        batch_id,
     )
     return curated
 
@@ -465,6 +473,11 @@ def stream_curation(
     ``store_root/dedup``.  Restart resumes from the stream checkpoint;
     every per-batch write is replay-idempotent."""
     ckpt = os.path.join(store_root, "_curation_checkpoint")
+    # same multilingual default as plans.curation.CurationPipeline: a web
+    # crawl stream is multilingual and the English-stopword rule would
+    # drop every non-English doc; pass min_stopword_ratio explicitly to
+    # re-enable it
+    gopher_kwargs = {"min_stopword_ratio": 0.0, **(gopher_kwargs or {})}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         curated = process_curation_batch(

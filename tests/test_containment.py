@@ -159,3 +159,45 @@ def test_containment_vocab_shuffle_join_parity(spark, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {tuple(r) for r in containment_pairs(df, 1.0).collect()}
     assert got == _brute(rows, 1.0)
+
+
+@pytest.mark.parametrize("t", [1.0, 0.7])
+def test_containment_materialize_modes_identical(spark, t):
+    """materialize only changes how the tokenized corpus is shared
+    (checkpoint vs map-side recompute) — results must be value-identical
+    across base/none/auto, and equal to brute force."""
+    docs = with_doc_id(
+        corpus_to_spark(spark, generate_corpus(n_docs=150, seed=19))
+    ).select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _brute(rows, t)
+    for m in ("base", "none", "auto"):
+        got = {
+            tuple(r)
+            for r in containment_pairs(docs, t, materialize=m).collect()
+        }
+        assert got == want, m
+
+
+def test_containment_materialize_validation_and_auto_rule(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_pairs(df, 1.0, materialize="bogus")
+    # the auto rule consults plan-size and cluster-memory estimates.  A
+    # local relation reports the unknown-stats sentinel (⇒ scale-safe
+    # recompute); a parquet scan carries file-size stats, and a tiny one
+    # fits any real session's memory ⇒ "base"
+    from localitysensitivesketch_spark.session import (
+        cluster_storage_bytes,
+        estimated_plan_bytes,
+    )
+
+    assert estimated_plan_bytes(df) is None  # local relation: unknown
+    p = str(tmp_path / "tiny_docs")
+    df.write.parquet(p)
+    scan = df.sparkSession.read.parquet(p)
+    est = estimated_plan_bytes(scan)
+    mem = cluster_storage_bytes(df.sparkSession)
+    assert est is not None and est > 0
+    assert mem is not None and mem > 0
+    assert est * 3 <= mem  # tiny parquet input ⇒ auto materializes

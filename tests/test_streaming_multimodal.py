@@ -573,3 +573,29 @@ def test_stream_curation_end_to_end_with_dedup(spark, tmp_path):
     assert sorted(r["doc_id"] for r in clusters.collect()) == sorted(
         r["doc_id"] for r in curated.collect()
     )
+
+
+def test_curation_all_dropped_first_batch_does_not_poison_store(spark, tmp_path):
+    """An all-dropped micro-batch must not seed schema-less store dirs
+    (a partitioned write of an empty frame lands no parquet footers and
+    the NEXT batch's store read would fail schema inference).  The guard
+    skips empty writes; later batches then create the dirs properly."""
+    store = str(tmp_path / "cur_store_empty_first")
+    junk = spark.createDataFrame([(0, _JUNK), (1, _JUNK)], "doc_id long, text string")
+    ST.process_curation_batch(spark, junk, 0, store, gopher_kwargs=_GQ)
+    # batch 0 dropped everything: no curated/exact_hashes dirs were seeded
+    import os as _os
+
+    assert not _os.path.exists(f"{store}/curated")
+    assert not _os.path.exists(f"{store}/exact_hashes")
+    # batch 1 has survivors and must process cleanly against the store
+    good = spark.createDataFrame(
+        [(10, _GOOD + " one"), (11, _GOOD + " two")], "doc_id long, text string"
+    )
+    ST.process_curation_batch(spark, good, 1, store, gopher_kwargs=_GQ)
+    got = sorted(r["doc_id"] for r in ST.read_curated(spark, store).collect())
+    assert got == [10, 11]
+    # and a later all-dropped batch is a no-op, not a poisoned write
+    ST.process_curation_batch(spark, junk, 2, store, gopher_kwargs=_GQ)
+    again = sorted(r["doc_id"] for r in ST.read_curated(spark, store).collect())
+    assert again == [10, 11]
