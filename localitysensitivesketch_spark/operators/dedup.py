@@ -312,6 +312,26 @@ VOCAB_BROADCAST_MAX_ROWS = 2_000_000
 MATERIALIZE_MEM_FACTOR = 3
 
 
+def choose_materialize(df: DataFrame) -> str:
+    """The ``materialize="auto"`` decision for :func:`containment_pairs`,
+    exposed so pipelines can make it from their ROOT scan: a mid-pipeline
+    frame (store reconstruction joins, semi-joined survivor views) reports
+    join-product or unknown-sentinel stats, which would push auto onto the
+    recompute path even when the corpus comfortably fits memory.  Both
+    answers are lossless — this only picks the faster plan."""
+    from ..session import cluster_storage_bytes, estimated_plan_bytes
+
+    est = estimated_plan_bytes(df)
+    mem = cluster_storage_bytes(df.sparkSession)
+    return (
+        "base"
+        if est is not None
+        and mem is not None
+        and est * MATERIALIZE_MEM_FACTOR <= mem
+        else "none"
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 1.0,
@@ -412,17 +432,7 @@ def containment_pairs(
             f"materialize must be 'auto', 'base' or 'none', got {materialize!r}"
         )
     if materialize == "auto":
-        from ..session import cluster_storage_bytes, estimated_plan_bytes
-
-        est = estimated_plan_bytes(df)
-        mem = cluster_storage_bytes(df.sparkSession)
-        materialize = (
-            "base"
-            if est is not None
-            and mem is not None
-            and est * MATERIALIZE_MEM_FACTOR <= mem
-            else "none"
-        )
+        materialize = choose_materialize(df)
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),

@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 
 from ..config import SketchConfig
 from ..operators.corpus import _tokens, gopher_filter, remove_duplicate_spans
-from ..operators.dedup import containment_pairs, exact_dedup, latest_capture
+from ..operators.dedup import (
+    choose_materialize,
+    containment_pairs,
+    exact_dedup,
+    latest_capture,
+)
 from ..operators.signatures import with_doc_id
 from ..operators.urls import normalize_urls
 from .pipeline import DedupPipeline
@@ -336,8 +341,12 @@ class CurationPipeline:
                         )
                     ).alias("n_toks"),
                 )
+                # the materialize decision is made from the ROOT scan:
+                # `survivors` is a store-reconstruction/semi-join view
+                # whose plan stats are join products, not corpus bytes
                 pairs = containment_pairs(
-                    survivors, threshold=t, text_col=text_col, cfg=self.cfg
+                    survivors, threshold=t, text_col=text_col, cfg=self.cfg,
+                    materialize=choose_materialize(raw),
                 )
                 na = sizes.select(
                     F.col("doc_id").alias("id_contained"),

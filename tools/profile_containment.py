@@ -77,8 +77,16 @@ def main() -> None:
     walls["keeper_rule_extra"] = round(time.time() - t1, 2)
     walls["total"] = round(time.time() - t0, 2)
 
+    from localitysensitivesketch_spark.operators.dedup import choose_materialize
+
     print(json.dumps({
         "docs": n, "cpus": args.cpus, "threshold": args.threshold,
+        "materialize": args.materialize,
+        "materialize_resolved": (
+            choose_materialize(docs)
+            if args.materialize == "auto"
+            else args.materialize
+        ),
         "n_pairs": n_pairs, "n_dropped": n_dropped, "walls_s": walls,
     }))
     spark.stop()
