@@ -126,6 +126,7 @@ def main() -> None:
         }
     # integrated all-tiers curation-funnel evidence (tools/funnel_bench.py)
     for name in (
+        "funnel_800k_8v32_narrow_r5.json",
         "funnel_800k_8v32_r4.json",
         "funnel_2v8_800k_r4.json",
     ):
@@ -156,14 +157,34 @@ def main() -> None:
             # narrow stage format (library default): forward, reversed,
             # and final-HEAD interleaved pairs —
             # BENCH/funnel_800k_8v32_narrow{,_rev,_head}_r4.json
-            "matched_pair_efficiencies_8v32_narrow": [0.585, 0.37, 0.483],
+            "matched_pair_efficiencies_8v32_narrow": [0.585, 0.37, 0.483, 0.471],
             "matched_pair_efficiencies_4v16_narrow": [0.64],
             "note": "scalar is the best pair; see matched-pair record + BENCH/BASELINE.md integrity note",
+        }
+    # containment tier standalone A/B (materialize modes, round 5)
+    cont_ev = os.path.join(bench_dir, "containment_800k_materialize_ab_r5.json")
+    if os.path.exists(cont_ev):
+        with open(cont_ev) as f:
+            cev = json.load(f)
+        scaling = scaling or {}
+        scaling["containment_tier"] = {
+            "job": cev["job"],
+            "n_docs": cev["n_docs"],
+            "scaling_efficiency_8v32": cev["scaling_efficiency_8v32_base_best"],
+            "clean_pair_efficiency_8v32": cev["single_clean_pair_auto"]["efficiency"],
+            "walls_s": cev["per_level_best_base"],
+            "r4_walls_s": {"8": cev["r4_reference"]["8"], "32": cev["r4_reference"]["32"]},
+            "lossless": cev["lossless"],
+            "evidence_file": os.path.basename(cont_ev),
         }
     # narrow-vs-wide stage-format A/B (store-write IO vs wall, matched
     # interleaved pairs at local[16]/800k — BENCH/BASELINE.md "Narrow
     # stage format")
-    ab_ev = os.path.join(bench_dir, "funnel_800k_format_ab_r4.json")
+    for name in ("funnel_800k_format_ab_r5.json",
+                 "funnel_800k_format_ab_r4.json"):
+        ab_ev = os.path.join(bench_dir, name)
+        if os.path.exists(ab_ev):
+            break
     if os.path.exists(ab_ev):
         with open(ab_ev) as f:
             ab = json.load(f)["summary"]
@@ -207,6 +228,9 @@ def main() -> None:
         "span_eff": (sc.get("span_tier") or {}).get("scaling_efficiency"),
         "funnel_eff_8v32": (sc.get("curation_funnel") or {}).get(
             "scaling_efficiency"
+        ),
+        "containment_eff_8v32": (sc.get("containment_tier") or {}).get(
+            "scaling_efficiency_8v32"
         ),
         "evidence": "BENCH/BASELINE.md",
     }
