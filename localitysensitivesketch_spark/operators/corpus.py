@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bloom import bloom_build, bloom_supported, might_contain
-from ..session import AUTO_PREFILTER_MIN_BYTES, estimated_plan_bytes
+from ..session import auto_prefilter_enabled
 
 
 def _tokens(text_col: str) -> Column:
@@ -881,8 +881,7 @@ def duplicate_span_hits(
     # docs it cut shuffle writes 47%.  Unknown size ⇒ assume large (the
     # scale path must stay on by default).  "bloom" forces it regardless.
     if prefilter == "auto":
-        est = estimated_plan_bytes(df)
-        if est is not None and est < AUTO_PREFILTER_MIN_BYTES:
+        if not auto_prefilter_enabled(df):
             prefilter = "off"
     use_bloom = prefilter in ("auto", "bloom") and bloom_supported(
         df.sparkSession

@@ -312,6 +312,27 @@ VOCAB_BROADCAST_MAX_ROWS = 2_000_000
 MATERIALIZE_MEM_FACTOR = 3
 
 
+# plan nodes whose output can differ between re-executions of the same
+# frame: without a pinned snapshot, containment_pairs' consumers (df agg,
+# inverted index, both verify sides) could each see a DIFFERENT doc set
+_UNSTABLE_PLAN_TOKENS = (
+    "Sample ", "GlobalLimit", "LocalLimit", "rand(", "randn(", "uuid()",
+    "shuffle(", "monotonically_increasing_id",
+)
+
+
+def _plan_reexecution_stable(df: DataFrame) -> bool | None:
+    """True/False when the analyzed plan can be inspected for
+    re-execution-unstable nodes; ``None`` when it cannot (non-classic
+    backend) — the caller then keeps its chosen mode and the documented
+    determinism requirement applies."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001
+        return None
+    return not any(t in plan for t in _UNSTABLE_PLAN_TOKENS)
+
+
 def choose_materialize(df: DataFrame) -> str:
     """The ``materialize="auto"`` decision for :func:`containment_pairs`,
     exposed so pipelines can make it from their ROOT scan: a mid-pipeline
@@ -404,7 +425,11 @@ def containment_pairs(
     extra passes scale linearly with cores); ``"auto"`` materializes
     when ``MATERIALIZE_MEM_FACTOR ×`` the estimated input fits in the
     cluster's unified executor memory and recomputes otherwise (unknown
-    size or memory ⇒ recompute: the scale-safe default).
+    size or memory ⇒ recompute: the scale-safe default), upgrading to
+    the pinned snapshot when the input's plan is positively detected as
+    re-execution-unstable (limit/sample/rand).  An explicit ``"none"``
+    requires ``df`` to yield the same rows on re-execution — every
+    consumer re-derives the corpus from it.
     (2) the per-doc rarest-prefix aggregation map-side-drops every token
     above a document-frequency cutoff chosen from a ≤64-row vocabulary
     histogram, with an exact per-doc fallback — lossless, same probe
@@ -433,6 +458,13 @@ def containment_pairs(
         )
     if materialize == "auto":
         materialize = choose_materialize(df)
+        # "none" re-derives the corpus in every consumer, which is only
+        # sound when re-executing df yields the same rows; a positively
+        # detected unstable plan (limit/sample/rand/...) gets the pinned
+        # snapshot instead.  An EXPLICIT materialize="none" is honored —
+        # its determinism requirement is documented above.
+        if materialize == "none" and _plan_reexecution_stable(df) is False:
+            materialize = "base"
     base = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -551,8 +583,14 @@ def containment_pairs(
         bad_ids = agg_u.filter(~sat).select("doc_id")
         # semi-join FIRST so only the (few) fallback docs' rows probe the
         # vocabulary hash map — the full-stream vocab join is the most
-        # expensive map work in this operator
-        fb_rows = tok.join(F.broadcast(bad_ids), "doc_id", "left_semi")
+        # expensive map work in this operator.  bad_ids is normally tiny,
+        # but a template-heavy corpus (many docs holding ONLY over-cutoff
+        # common tokens) can make it corpus-scale — guard the broadcast
+        # like the vocab one and fall back to a shuffle semi-join (the
+        # count is one cheap job over the checkpointed aggregation)
+        if bad_ids.count() <= VOCAB_BROADCAST_MAX_ROWS:
+            bad_ids = F.broadcast(bad_ids)
+        fb_rows = tok.join(bad_ids, "doc_id", "left_semi")
         prefix_fb = _topk(
             fb_rows.join(
                 F.broadcast(tok_df)
@@ -576,10 +614,9 @@ def containment_pairs(
     # than they save on tiny inputs; unknown size ⇒ assume large so the
     # scale path stays on by default.  "bloom" forces it regardless.
     if prefilter == "auto":
-        from ..session import AUTO_PREFILTER_MIN_BYTES, estimated_plan_bytes
+        from ..session import auto_prefilter_enabled
 
-        est = estimated_plan_bytes(df)
-        if est is not None and est < AUTO_PREFILTER_MIN_BYTES:
+        if not auto_prefilter_enabled(df):
             prefilter = "off"
     if prefilter in ("auto", "bloom") and bloom_supported(df.sparkSession):
         # the inverted index only matters where a probe key can meet it:

@@ -563,7 +563,15 @@ class CurationPipeline:
         the new batch's urls are disjoint and no new doc exactly
         duplicates committed content under a SMALLER doc id (first-seen
         vs min-id keeper divergence — the one semantic the append-only
-        path cannot see)."""
+        path cannot see).
+
+        Crash recovery: the ``captures`` stage — which the url-overlap
+        gate reads — commits LAST.  A crash before that publish point
+        leaves the pre-merge captures in place, so simply re-running
+        ``merge_documents`` passes the gate and idempotently rewrites
+        the partial downstream commits; a crash after it means every
+        merge commit landed and ``run(resume=True)`` completes the
+        keep-list recomputation."""
         from .incremental import incremental_update
 
         if stage_format not in ("narrow", "wide"):
@@ -610,12 +618,18 @@ class CurationPipeline:
                 "rerun the funnel with resume=False"
             )
         # first-seen exact tier: which new hashes already exist? (map-only
-        # over captures, broadcast-probed; the hit set is ≤ |new|, tiny)
+        # over captures, broadcast-probed; the hit set is ≤ |new|, tiny).
+        # NULL md5 (null-text doc) never equi-matches, but exact_dedup's
+        # groupBy DOES group null hashes — a sentinel keeps the two paths
+        # agreeing (md5 output is 32 hex chars, so no collision)
+        def _md5_key(col):
+            return F.coalesce(F.md5(col), F.lit("__null_text__"))
+
         new_md5 = new_caps.select(
-            "doc_id", F.md5(F.col(text_col)).alias("__md5")
+            "doc_id", _md5_key(F.col(text_col)).alias("__md5")
         )
         seen_md5 = (
-            captures.select(F.md5(F.col(text_col)).alias("__md5"))
+            captures.select(_md5_key(F.col(text_col)).alias("__md5"))
             .join(F.broadcast(new_md5.select("__md5").distinct()), "__md5",
                   "left_semi")
             .distinct()
@@ -635,10 +649,16 @@ class CurationPipeline:
         ).localCheckpoint(eager=True)
         # union-commit the gates under their existing keys (write() swaps
         # staging dirs, so reading a stage's previous version inside its
-        # own rewrite plan is safe; the superseded version archives)
-        captures_upd = self.store.write(
-            k_cap, captures.unionByName(new_caps), operation="merge-append"
-        )
+        # own rewrite plan is safe; the superseded version archives).
+        # COMMIT ORDER is the crash-recovery protocol: captures — the
+        # stage the url-overlap gate above reads — commits LAST, as the
+        # publish point.  A crash anywhere before it leaves the old
+        # captures in place, so re-running merge_documents passes the
+        # overlap gate and idempotently rewrites the partial downstream
+        # commits (deterministic content, snapshot-versioned keys); a
+        # crash after it means the merge is fully committed and
+        # ``run(resume=True)`` finishes the keep-list recomputation.
+        merged_caps = captures.unionByName(new_caps)
         old_exact = self.store.read(k_exact)
         exact_upd = self.store.write(
             k_exact,
@@ -648,18 +668,17 @@ class CurationPipeline:
             ),
             operation="merge-append",
         )
+        old_quality = self.store.read(k_quality)
         quality_upd = self.store.write(
             k_quality,
-            self.store.read(k_quality).unionByName(
-                new_quality.select(*self.store.read(k_quality).columns)
-            ),
+            old_quality.unionByName(new_quality.select(*old_quality.columns)),
             operation="merge-append",
         )
         # spine merge over the updated gate views (same reconstruction
         # shapes as run())
         passed_ids = quality_upd.filter("keep").select("doc_id")
         exact_view = (
-            captures_upd.join(exact_upd, "doc_id", "left_semi")
+            merged_caps.join(exact_upd, "doc_id", "left_semi")
             if narrow else exact_upd
         )
         all_passed = exact_view.join(passed_ids, "doc_id", "left_semi")
@@ -668,7 +687,11 @@ class CurationPipeline:
         )
         incremental_update(
             self.store, all_passed, new_passed, self.cfg,
+            text_col=text_col,
             stage_suffix=dedup_sfx,
+        )
+        captures_upd = self.store.write(
+            k_cap, merged_caps, operation="merge-append"
         )
         # resume recomputes the cascade-invalidated keep-lists over the
         # merged spine; gates + spine are reused as committed above

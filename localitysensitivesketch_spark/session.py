@@ -51,6 +51,15 @@ def recommended_shuffle_partitions(
 AUTO_PREFILTER_MIN_BYTES = 32 * 1024 * 1024
 
 
+def auto_prefilter_enabled(df) -> bool:
+    """The shared ``prefilter="auto"`` floor decision: take the bloom
+    plan unless the input is POSITIVELY estimated below
+    :data:`AUTO_PREFILTER_MIN_BYTES` (unknown size ⇒ assume large, keep
+    the scale path on)."""
+    est = estimated_plan_bytes(df)
+    return est is None or est >= AUTO_PREFILTER_MIN_BYTES
+
+
 def estimated_plan_bytes(df) -> int | None:
     """Catalyst's logical-plan size estimate for ``df`` — file sizes for
     scans, exact bytes for local relations; **no job runs**.  ``None``

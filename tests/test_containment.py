@@ -201,3 +201,25 @@ def test_containment_materialize_validation_and_auto_rule(spark, tmp_path):
     assert est is not None and est > 0
     assert mem is not None and mem > 0
     assert est * 3 <= mem  # tiny parquet input ⇒ auto materializes
+
+
+def test_plan_reexecution_stability_detection(spark, tmp_path):
+    """auto-resolved 'none' re-derives the corpus in every consumer, so
+    positively unstable plans (limit/sample) must upgrade to the pinned
+    snapshot; a parquet scan is stable."""
+    from localitysensitivesketch_spark.operators.dedup import (
+        _plan_reexecution_stable,
+    )
+
+    p = str(tmp_path / "stab_docs")
+    spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _plan_reexecution_stable(scan) is True
+    assert _plan_reexecution_stable(scan.limit(5)) is False
+    assert _plan_reexecution_stable(scan.sample(0.5, seed=1)) is False
+    # and the hazard case still returns internally consistent results
+    got = containment_pairs(scan.limit(20), 1.0).collect()
+    assert isinstance(got, list)

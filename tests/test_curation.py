@@ -679,3 +679,55 @@ def test_merge_documents_rejects_recrawled_urls(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="delete"):
         pipe.merge_documents(recrawl)
+
+
+def test_merge_documents_null_text_and_custom_text_col(spark, tmp_path):
+    """Two round-5 review regressions in one end-to-end pass: (a) the
+    merge path's first-seen exact tier must group NULL-text docs with the
+    committed NULL-text keeper (a bare md5 equi-join never matches NULL),
+    and (b) merge_documents must thread a custom text_col into the spine
+    merge (incremental_update used to sketch the default 'text')."""
+    corpus = generate_corpus(n_docs=60, seed=29, dup_fraction=0.2)
+    old_raw = corpus_to_spark(spark, corpus).withColumnRenamed("text", "body")
+    # committed corpus carries a null-text doc
+    ddl = "url string, warc_ts timestamp, html binary, body string, lang string"
+    nul1 = spark.createDataFrame(
+        [Row(url="http://odd.example/nullbase", warc_ts=datetime(2030, 5, 1),
+             html=b"<n>", body=None, lang="en")], ddl)
+    old_raw = old_raw.unionByName(nul1)
+    knobs = dict(text_col="body", containment_threshold=1.0,
+                 exactsubstr_window=5)
+    pipe = CurationPipeline(spark, str(tmp_path / "mn"), gopher_kwargs=GOPHER)
+    pipe.run(old_raw, **knobs)
+
+    base_id = nul1.select(F.xxhash64("url").alias("id")).collect()[0]["id"]
+    # a SECOND null-text doc at a new url whose doc id is larger, so the
+    # merge's first-seen keeper and from-scratch's min-id keeper agree
+    cand = [f"http://odd.example/null{i}" for i in range(40)]
+    ids = {r["u"]: r["id"]
+           for r in spark.createDataFrame([(u,) for u in cand], "u string")
+           .select("u", F.xxhash64("u").alias("id")).collect()}
+    nul_url = next(u for u in cand if ids[u] > base_id)
+    new_raw = spark.createDataFrame(
+        [Row(url=nul_url, warc_ts=datetime(2031, 5, 1),
+             html=b"<n2>", body=None, lang="en"),
+         Row(url="http://odd.example/freshbody", warc_ts=datetime(2031, 5, 2),
+             html=b"<f>",
+             body="completely fresh merged body page aa bb cc dd ee ff gg",
+             lang="en")],
+        ddl)
+    all_raw = old_raw.unionByName(new_raw)
+
+    res2 = pipe.merge_documents(new_raw, raw=all_raw, **knobs)
+    ref = CurationPipeline(
+        spark, str(tmp_path / "mn_scratch"), gopher_kwargs=GOPHER
+    ).run(all_raw, **knobs)
+
+    # the new null doc must be DROPPED at the exact tier (the committed
+    # null keeper wins) — visible in the funnel audit, not just survivors
+    assert sorted(map(tuple, res2.funnel.collect())) == sorted(
+        map(tuple, ref.funnel.collect()))
+    got = sorted((r["url"], r["body"]) for r in res2.survivors.collect())
+    want = sorted((r["url"], r["body"]) for r in ref.survivors.collect())
+    assert got == want
+    assert not any(u == nul_url for u, _ in got)
