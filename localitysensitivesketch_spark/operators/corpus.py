@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bloom import bloom_build, bloom_supported, might_contain
-from ..session import auto_prefilter_enabled
+from ..session import auto_prefilter_enabled, ensure_min_partitions
 
 
 def _tokens(text_col: str) -> Column:
@@ -285,8 +285,10 @@ def repetition_stats(
                 )
 
         id_type = df.schema[id_col].dataType.simpleString()
-        agg = df.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        agg = ensure_min_partitions(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
         ).mapInPandas(
             per_doc,
             f"doc_id {id_type}, gram_n int, n_grams long, n_dup_grams long, "
@@ -451,8 +453,8 @@ def _gopher_doc_counts_arrow(
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    return ensure_min_partitions(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ).mapInPandas(
         per_doc,
         f"doc_id {id_type}, n_tokens long, n_chars long, n_punct long, "
@@ -799,9 +801,10 @@ def sliding_window_occurrences(
     # the id column keeps its incoming Spark type (sql-path parity: any
     # joinable id works, not just bigint)
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).mapInPandas(scan, f"doc_id {id_type}, pos int, h binary")
+    pruned = ensure_min_partitions(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    return pruned.mapInPandas(scan, f"doc_id {id_type}, pos int, h binary")
 
 
 def duplicate_span_hits(

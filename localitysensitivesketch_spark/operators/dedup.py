@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import SketchConfig
+from ..session import ensure_min_partitions
 from .candidates import band_candidates, pairs_by_key, simhash_candidates
 from .cluster import connected_components
 from .signatures import compute_signatures
@@ -177,6 +178,11 @@ def ngram_jaccard_pairs(
             "toks"
         ),
     ).withColumn("n", F.size("toks"))
+    # the downstream work is per-row quadratic (block strategy: the
+    # in-block intersect join probes ride the stream side's partitions)
+    # or a fan-out explode (prefix) — a narrow small-file scan must not
+    # serialize it on one core; no-op whenever the scan is already wide
+    base = ensure_min_partitions(base)
 
     if strategy == "auto":
         # deterministic hash-membership sample (~1/16 of docs): independent
@@ -475,6 +481,11 @@ def containment_pairs(
         .withColumn("n", F.size("toks"))
         .filter((F.col("n") > 0) & ~((F.col("n") == 1) & (F.element_at("toks", 1) == "")))
     )
+    # every consumer's tokenize/explode/xxhash64 pass (and the pinned
+    # snapshot under materialize="base") inherits this frame's layout — a
+    # narrow small-file scan must not serialize them on one core; no-op
+    # whenever the scan is already wide
+    base = ensure_min_partitions(base)
     if materialize == "base":
         # one tokenize pass shared by every consumer (vocab agg, rank
         # join, inverted index, both exact-verify sides) — fastest while

@@ -91,12 +91,19 @@ def compute_signatures(
     simhash, n_shingles, n_tokens).
 
     Selects only (id, text) first so Catalyst prunes every other column at
-    the parquet scan (ReadSchema contains just the two).
+    the parquet scan (ReadSchema contains just the two).  The pruned rows
+    are then widened to the scheduler's parallelism when the scan is
+    narrower (:func:`~..session.ensure_min_partitions`): the signature
+    kernel is the single most expensive per-row pass in the engine, and a
+    small-file scan would otherwise run it on one core.
     """
+    from ..session import ensure_min_partitions
+
     pruned = documents.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
+    pruned = ensure_min_partitions(pruned)
     return pruned.mapInPandas(_signature_batches(cfg.to_json()), SIGNATURE_SCHEMA)
 
 

@@ -231,8 +231,13 @@ def hyperplane_buckets(
     """(vec_id, bucket): sign-bit fingerprint under ``n_bits`` deterministic
     random hyperplanes — one Arrow-batched matmul per batch; cosine-similar
     vectors share buckets with probability (1 − θ/π)^n_bits."""
-    pruned = corpus.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    from ..session import ensure_min_partitions
+
+    pruned = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
     )
     return pruned.mapInPandas(_hyperplane_fn(dim, n_bits, seed), _HYPERPLANE_SCHEMA)
 

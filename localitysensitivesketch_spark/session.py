@@ -42,6 +42,43 @@ def recommended_shuffle_partitions(
     return n
 
 
+def ensure_min_partitions(df, min_partitions: int | None = None):
+    """Round-robin repartition ``df`` up to the scheduler's parallelism —
+    but ONLY when it currently has fewer partitions.
+
+    Guards the operators whose next phase does EXPENSIVE per-row map work
+    (Arrow signature kernels, tokenize+explode, the quadratic in-block
+    intersect): Spark sizes a parquet scan's partitions by bytes
+    (``maxPartitionBytes``), so a small-file input — one ~MB file, a
+    coalesced upstream stage, a single unsplittable row group — lands on
+    ONE task and serializes the whole pass while every other core idles
+    (measured: the sf0.1 bench's 5 k-doc single-file scan ran the block
+    Jaccard join and the MinHash signature pass on 1 of 32 cores).
+
+    At scale this is a no-op by construction: a 100 TB scan has ~10^5+
+    partitions ≥ any cluster's parallelism, so the guard never inserts a
+    shuffle where the input is already wide.  When it does fire, it
+    shuffles only the rows the caller already pruned (narrow projections,
+    never wide payloads).  Round-robin keeps sizes balanced regardless of
+    key skew; Spark sorts batches before round-robin
+    (``spark.sql.execution.sortBeforeRepartition``), so retries are
+    deterministic.  All guarded operators are partition-layout-invariant
+    (pinned by the scaling tests), so outputs are unchanged.
+
+    ``None``-safe on non-classic backends: if partition introspection
+    fails, the input is returned untouched.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        n = int(min_partitions or sc.defaultParallelism)
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — connect backend: no RDD access
+        return df
+    if cur >= n or cur <= 0:
+        return df
+    return df.repartition(n)
+
+
 #: inputs estimated below this take the plain two-stage plan — the bloom
 #: pre-filters pay a few fixed stages (second agg pass, filter build,
 #: sizing count) that cost more than the whole query on tiny corpora

@@ -900,3 +900,40 @@ def test_merge_components_pathological_batch_takes_shuffle_fallback(spark):
         endpoint_broadcast_limit=5_000_000,
     )
     assert sorted((r.doc_id, r.cluster_id) for r in bcast.collect()) == want
+
+
+def test_ensure_min_partitions_widens_narrow_input_only(spark):
+    from localitysensitivesketch_spark.session import ensure_min_partitions
+
+    narrow = spark.range(100).coalesce(1)
+    widened = ensure_min_partitions(narrow)
+    assert widened.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in widened.collect()) == list(range(100))
+    # already-wide input comes back untouched (no inserted shuffle)
+    wide = spark.range(100).repartition(16)
+    assert ensure_min_partitions(wide) is wide
+    # explicit floor overrides the scheduler default
+    assert ensure_min_partitions(narrow, 7).rdd.getNumPartitions() == 7
+
+
+def test_signature_pass_parallelizes_single_partition_scan(spark):
+    """A one-file/one-partition corpus must not serialize the Arrow
+    signature kernel on a single core: compute_signatures widens the
+    pruned rows to the scheduler's parallelism, and the signatures are
+    identical either way (partition-layout invariance)."""
+    from localitysensitivesketch_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    cfg = SketchConfig(n_hashes=16, bands=4, rows=4)
+    docs = with_doc_id(
+        corpus_to_spark(spark, generate_corpus(120, seed=5))
+    ).coalesce(1)
+    sigs = compute_signatures(docs, cfg)
+    assert sigs.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    a = {r.doc_id: r.minhash for r in sigs.collect()}
+    b = {
+        r.doc_id: r.minhash
+        for r in compute_signatures(docs.repartition(8), cfg).collect()
+    }
+    assert a == b
