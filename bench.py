@@ -15,6 +15,7 @@ parallelism scaling-efficiency evidence (BASELINE.md target ≥0.8).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,6 +66,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in bench_queries:
+        # per-query isolation: the previous query's dropped DataFrames pin
+        # localCheckpoint blocks until the DRIVER's Python GC runs (the
+        # ContextCleaner frees executor blocks only after the py4j refs
+        # die), and the accumulated blocks cause multi-second executor GC
+        # stalls in later queries (measured: dedup_cluster_stats swings
+        # 4.7-17.8 s without this, 4.7-5.9 s over 6 runs with it).  Each
+        # query is charged its own cost, not its predecessor's garbage.
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — connect backend: no JVM handle
+            pass
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()  # force full execution
