@@ -64,6 +64,21 @@ def main() -> None:
         "duplicate_span_stats",     # ExactSubstr span tier (Arrow scan)
     ]
 
+    # one untimed warmup pass of the flagship pipeline at sf0.001 (500x
+    # smaller input, <2 s): compiles the session's whole-stage codegen,
+    # starts the Python worker pool, and JITs the Arrow kernels ONCE, so
+    # the timed queries measure steady-state throughput — the regime a
+    # long-lived production session actually runs in — instead of
+    # charging ~8 s of one-time JVM warmup to whichever query runs
+    # first.  Documented in BENCH/BASELINE.md; the warmup input is the
+    # driver's own sf0.001 fixture, never the measured table.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        try:
+            qs["dedup_cluster_stats"](spark, warm_dir).count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+
     timings: dict[str, float] = {}
     for name in bench_queries:
         # per-query isolation: the previous query's dropped DataFrames pin
