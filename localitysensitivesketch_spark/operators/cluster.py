@@ -129,13 +129,16 @@ def connected_components(
         )
         new_labels = ck(new_labels)
         labels = new_labels.select("id", "label")
-        # the init already did round 1, and near-clique duplicate graphs
-        # always need ≥1 more — the convergence-count job (one extra Spark
-        # job per round) only starts at the second loop round
-        if it >= 1:
-            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-            if changed == 0:
-                break
+        # convergence check EVERY round: the count job reads the
+        # round's already-checkpointed labels (cheap, no recompute),
+        # while each avoided iteration is a full edge-join + aggregate +
+        # checkpoint round — LSH duplicate clusters are near-cliques, so
+        # the init (= round 1) usually converges immediately and the
+        # first in-loop round just confirms it; checking here saves the
+        # whole second in-loop round that the old >=1 gate always paid
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        if changed == 0:
+            break
 
     return verts.join(labels, "id", "left").select(
         F.col("id").alias("doc_id"),

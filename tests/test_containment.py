@@ -223,3 +223,44 @@ def test_plan_reexecution_stability_detection(spark, tmp_path):
     # and the hazard case still returns internally consistent results
     got = containment_pairs(scan.limit(20), 1.0).collect()
     assert isinstance(got, list)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("t", [0.95, 1.0])
+def test_containment_cutoff_prune_parity_randomized(spark, seed, t):
+    """Brute-force parity in the high-threshold region (ρ ≤ 0.33) where
+    the df-cutoff map-side prune engages: t = 0.95 exercises the pruned
+    prefix with a NONZERO miss budget (m > 0, the round-5 unified t < 1
+    path — no other test reaches the cutoff with m > 0), t = 1.0 the
+    m = 0 case.  The corpus mixes template tokens present in most docs
+    (so some docs hold ONLY over-cutoff tokens and take the exact
+    per-doc fallback) with a long tail of rare tokens (cutoff-satisfiable
+    prefixes), plus planted exact subsets and 19-of-20-token near-subsets
+    that straddle the t = 0.95 boundary."""
+    import random
+
+    rng = random.Random(seed)
+    common = [f"tpl{i}" for i in range(8)]
+    rare = [f"r{i}" for i in range(400)]
+    rows = []
+    for i in range(90):
+        n_common = rng.randint(1, 6)
+        n_rare = rng.randint(0, 12)
+        toks = rng.sample(common, n_common) + rng.sample(rare, n_rare)
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    # template-only docs: every token over any reasonable cutoff → the
+    # fallback branch must produce their exact rarest prefix
+    for i in range(90, 100):
+        rows.append((i, " ".join(rng.sample(common, rng.randint(2, 8)))))
+    # planted subset pairs (containment 1.0) and 19/20 near-subsets
+    # (containment 0.95 — ON the t=0.95 boundary, pigeonhole-critical)
+    base = rng.sample(rare, 20)
+    rows.append((100, " ".join(base)))
+    rows.append((101, " ".join(base[:10])))
+    rows.append((102, " ".join(base[:19] + ["odd1"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in containment_pairs(df, t).collect()}
+    want = _brute(rows, t)
+    assert got == want
+    assert len(want) > 0
